@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship tokens-table validation pipeline at sf0.001
+scale; ``queries()`` / ``oracle_sql()`` expose every implemented operator
+from SURVEY.md §2 (see json_schema_validate_ray/pipelines/queries.py for the
+registry, each with its DuckDB oracle where SQL-expressible).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init() / ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,26 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from json_schema_validate_ray.pipelines import queries as _q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the sf0.001-scale tokens table
+    deterministically, run the vectorized schema-validation stage, and return
+    the verdict Dataset (doc_id, valid, n_violations, violations)."""
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.validate import validate_dataset
+    from json_schema_validate_ray.sources.tokens import write_tokens_parquet
+
+    path = write_tokens_parquet("/tmp/jsv_tokens/entry_sf0.001", 6000,
+                                n_partitions=8)
+    return validate_dataset(rd.read_parquet(path))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,766 @@
+"""The driver-contract query registry: every SURVEY.md §2 operator exposed as
+a named pipeline over the testdata tables, with a DuckDB oracle where the
+semantics are SQL-expressible.
+
+Each entry:  name -> (ray_fn(sf_dir) -> Dataset | pa.Table, oracle_sql | None)
+
+Column names and rounding are aligned EXACTLY between the Ray result and the
+SQL so the driver's order-insensitive value-hash comparison passes: float
+aggregates are rounded on both sides (coarse enough to absorb the ~1e-7
+parallel-vs-serial summation and float32-vs-float64 kernel differences).
+
+No function here calls ray.init() — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.tokens import write_tokens_parquet
+from ..stages.checks import column_stats, duplicate_keys
+from ..stages.multimodal import MediaFeatureExtractor, synth_media_batch
+from ..stages.text import (
+    DEFAULT_STOPWORDS,
+    Fingerprinter,
+    LanguageId,
+    QualityScorer,
+    TokenCounter,
+    tokenize,
+)
+from ..stages.validator import JsonDocValidator
+from .dedup import (
+    embedding_cosine_pairs,
+    exact_dedup_summary,
+    minhash_lsh_candidates,
+    simhash_buckets,
+)
+from .schemas import TOKENS_SCHEMA
+from .similarity import brute_force_topk, srp_bucketed_topk
+from .validate import full_report, validate_dataset
+
+
+
+
+def _conc() -> int:
+    """Actor-pool size with scheduling headroom: never reserve every CPU or
+    the read/write tasks starve (deadlocks at num_cpus == pool size)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus - 2)
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round_col(tbl: pa.Table, col: str, ndigits: int) -> pa.Table:
+    i = tbl.column_names.index(col)
+    return tbl.set_column(i, col, pc.round(tbl[col], ndigits=ndigits))
+
+
+PROPS_EVENT_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 89}},
+}
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregation operators
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate with combiner semantics (classic pricing summary)."""
+    from ray.data.aggregate import Count, Mean, Sum
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _round_col(tbl, "sum_qty", 2)
+    tbl = _round_col(tbl, "sum_base_price", 2)
+    tbl = _round_col(tbl, "avg_disc", 6)
+    return tbl
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(sum(l_extendedprice), 2)  AS sum_base_price,
+       round(avg(l_discount), 6)       AS avg_disc,
+       count(*)                        AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_column_stats_lineitem(sf_dir: str):
+    """Single-row column stats via Dataset.aggregate (tree reduce, no key)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_quantity", "l_extendedprice"])
+    row = ds.aggregate(Count(alias_name="row_count"),
+                       Min("l_quantity", alias_name="min_qty"),
+                       Max("l_quantity", alias_name="max_qty"),
+                       Mean("l_quantity", alias_name="avg_qty"),
+                       Sum("l_extendedprice", alias_name="sum_price"))
+    return pa.table({
+        "row_count": pa.array([int(row["row_count"])], type=pa.int64()),
+        "min_qty": pa.array([float(row["min_qty"])], type=pa.float64()),
+        "max_qty": pa.array([float(row["max_qty"])], type=pa.float64()),
+        "avg_qty": pa.array([round(float(row["avg_qty"]), 6)], type=pa.float64()),
+        "sum_price": pa.array([round(float(row["sum_price"]), 2)], type=pa.float64()),
+    })
+
+
+SQL_COLUMN_STATS_LINEITEM = """
+SELECT count(*)                           AS row_count,
+       cast(min(l_quantity) AS DOUBLE)    AS min_qty,
+       cast(max(l_quantity) AS DOUBLE)    AS max_qty,
+       round(avg(l_quantity), 6)          AS avg_qty,
+       round(sum(l_extendedprice), 2)     AS sum_price
+FROM lineitem
+"""
+
+
+def q_groupby_source_documents(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_chars", alias_name="avg_chars"),
+        Max("n_chars", alias_name="max_chars"))
+    tbl = pa.Table.from_pylist(out.take_all())
+    return _round_col(tbl, "avg_chars", 6)
+
+
+SQL_GROUPBY_SOURCE_DOCUMENTS = """
+SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_LANG_DISTRIBUTION = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_topk_longest_docs(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK_LONGEST_DOCS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+def q_histogram_n_chars(sf_dir: str):
+    from ray.data.aggregate import Count
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["n_chars"])
+    bucketed = ds.map_batches(
+        lambda b: pa.table({"bucket": pc.cast(
+            pc.floor(pc.divide(b["n_chars"], 50)), pa.int64())}),
+        batch_format="pyarrow")
+    return bucketed.groupby("bucket").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_HISTOGRAM_N_CHARS = """
+SELECT cast(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n_docs
+FROM documents GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# uniqueness / referential / range checks (north-rule operators)
+# ---------------------------------------------------------------------------
+
+def q_duplicate_doc_ids(sf_dir: str):
+    import pyarrow.parquet as pq
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    rows = duplicate_keys(ds, "doc_id").take_all()
+    # materialize with an explicit schema so a zero-duplicate result still
+    # carries the right columns/types for the driver's schema compare
+    key_type = pq.read_schema(_t(sf_dir, "documents")).field("doc_id").type
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("doc_id", key_type), ("dup_count", pa.int64())]))
+
+
+SQL_DUPLICATE_DOC_IDS = """
+SELECT doc_id, count(*) AS dup_count FROM documents
+GROUP BY doc_id HAVING count(*) > 1
+"""
+
+
+def q_referential_orphans(sf_dir: str):
+    """Broadcast anti-join: orders whose o_custkey has no customer row."""
+    import ray
+    rd = _rd()
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    keys = pa.concat_tables(
+        [b for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow")]
+        or [pa.table({"c_custkey": pa.array([], type=pa.int64())})])["c_custkey"]
+    key_set_ref = ray.put(keys.combine_chunks())
+
+    def count_orphans(batch: pa.Table) -> pa.Table:
+        allowed = ray.get(key_set_ref)
+        bad = pc.invert(pc.is_in(batch["o_custkey"], value_set=allowed))
+        return pa.table({"n": pa.array(
+            [int(pc.sum(bad).as_py() or 0)], type=pa.int64())})
+
+    partials = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"]) \
+        .map_batches(count_orphans, batch_format="pyarrow").take_all()
+    return pa.table({"n_orphans": pa.array(
+        [sum(r["n"] for r in partials)], type=pa.int64())})
+
+
+SQL_REFERENTIAL_ORPHANS = """
+SELECT count(*) AS n_orphans FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q_value_range_events(sf_dir: str):
+    from ray.data.aggregate import Count
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    flt = ds.map_batches(
+        lambda b: b.filter(pc.or_(pc.less(b["value"], 1.0),
+                                  pc.greater(b["value"], 400.0))),
+        batch_format="pyarrow")
+    return flt.groupby("event_type").aggregate(Count(alias_name="n_out_of_range"))
+
+
+SQL_VALUE_RANGE_EVENTS = """
+SELECT event_type, count(*) AS n_out_of_range FROM events
+WHERE value < 1.0 OR value > 400.0 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document JSON validation (the reference's core semantics on real data)
+# ---------------------------------------------------------------------------
+
+def q_validate_props_events(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    return ds.map_batches(
+        JsonDocValidator,
+        fn_constructor_kwargs={"schema": PROPS_EVENT_SCHEMA,
+                               "json_column": "props", "id_column": "event_id"},
+        batch_format="pyarrow", concurrency=_conc())
+
+
+SQL_VALIDATE_PROPS_EVENTS = """
+SELECT event_id,
+       coalesce(try_cast(json_extract(props, '$.k') AS BIGINT)
+                BETWEEN 0 AND 89, false) AS valid
+FROM events
+"""
+
+
+def q_props_valid_rate(sf_dir: str):
+    verdicts = q_validate_props_events(sf_dir)
+    partials = verdicts.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([b.num_rows], type=pa.int64()),
+            "v": pa.array([int(pc.sum(pc.cast(b["valid"], pa.int64())).as_py() or 0)],
+                          type=pa.int64())}),
+        batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in partials)
+    v = sum(r["v"] for r in partials)
+    return pa.table({"n_events": pa.array([n], type=pa.int64()),
+                     "n_valid": pa.array([v], type=pa.int64()),
+                     "n_invalid": pa.array([n - v], type=pa.int64())})
+
+
+SQL_PROPS_VALID_RATE = """
+SELECT count(*) AS n_events,
+       count(*) FILTER (WHERE coalesce(try_cast(json_extract(props, '$.k') AS BIGINT)
+                                       BETWEEN 0 AND 89, false)) AS n_valid,
+       count(*) FILTER (WHERE NOT coalesce(try_cast(json_extract(props, '$.k') AS BIGINT)
+                                           BETWEEN 0 AND 89, false)) AS n_invalid
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# string-constraint operators (byte lengths, regex) over documents
+# ---------------------------------------------------------------------------
+
+def q_strlen_stats_documents(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    partials = ds.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([b.num_rows], type=pa.int64()),
+            "mn": pa.array([pc.min(pc.binary_length(b["text"])).as_py()], type=pa.int64()),
+            "mx": pa.array([pc.max(pc.binary_length(b["text"])).as_py()], type=pa.int64()),
+            "s": pa.array([int(pc.sum(pc.binary_length(b["text"])).as_py() or 0)], type=pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in partials)
+    return pa.table({
+        "n_docs": pa.array([n], type=pa.int64()),
+        "min_bytes": pa.array([min(r["mn"] for r in partials)], type=pa.int64()),
+        "max_bytes": pa.array([max(r["mx"] for r in partials)], type=pa.int64()),
+        "avg_bytes": pa.array([round(sum(r["s"] for r in partials) / n, 6)],
+                              type=pa.float64()),
+    })
+
+
+SQL_STRLEN_STATS_DOCUMENTS = """
+SELECT count(*) AS n_docs, min(strlen(text)) AS min_bytes,
+       max(strlen(text)) AS max_bytes, round(avg(strlen(text)), 6) AS avg_bytes
+FROM documents
+"""
+
+
+def q_pattern_match_lang(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    partials = ds.map_batches(
+        lambda b: pa.table({
+            "m": pa.array([int(pc.sum(pc.cast(
+                pc.match_substring_regex(b["lang"], "^[a-z]{2}$"), pa.int64())).as_py() or 0)],
+                type=pa.int64()),
+            "n": pa.array([b.num_rows], type=pa.int64())}),
+        batch_format="pyarrow").take_all()
+    m = sum(r["m"] for r in partials)
+    n = sum(r["n"] for r in partials)
+    return pa.table({"n_match": pa.array([m], type=pa.int64()),
+                     "n_nomatch": pa.array([n - m], type=pa.int64())})
+
+
+SQL_PATTERN_MATCH_LANG = """
+SELECT count(*) FILTER (WHERE regexp_matches(lang, '^[a-z]{2}$')) AS n_match,
+       count(*) FILTER (WHERE NOT regexp_matches(lang, '^[a-z]{2}$')) AS n_nomatch
+FROM documents
+"""
+
+
+def q_enum_violations_lang(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    allowed = pa.array(["en", "de", "fr"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(b["lang"], value_set=allowed))),
+        batch_format="pyarrow")
+
+
+SQL_ENUM_VIOLATIONS_LANG = """
+SELECT doc_id, lang FROM documents WHERE lang NOT IN ('en', 'de', 'fr')
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_counts_documents(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        TokenCounter, fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", concurrency=_conc()).map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS_DOCUMENTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_stopword_stats(sf_dir: str):
+    """Mean stopword ratio.  Per-row ratios are scaled to integers
+    (round(10000 * ratio)) so the distributed sum is EXACT and the final
+    division is bit-identical to the serial SQL oracle — no float summation
+    order sensitivity."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    stop = set(DEFAULT_STOPWORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        total = 0
+        n = 0
+        for t in batch["text"].to_pylist():
+            n += 1
+            toks = tokenize(t) if t else []
+            if toks:
+                sw = sum(1 for w in toks if w in stop)
+                # half-away-from-zero to match DuckDB round(), not Python's
+                # banker's rounding
+                total += int(np.floor(10000 * sw / len(toks) + 0.5))
+        return pa.table({"n": pa.array([n], type=pa.int64()),
+                         "s": pa.array([total], type=pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in partials)
+    s = sum(r["s"] for r in partials)
+    return pa.table({"n_docs": pa.array([n], type=pa.int64()),
+                     "avg_stopword_ratio": pa.array([round(s / n / 10000.0, 6)],
+                                                    type=pa.float64())})
+
+
+SQL_STOPWORD_STATS = r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents)
+SELECT count(*) AS n_docs,
+       round(sum(CASE WHEN len(toks) = 0 THEN 0
+                      ELSE cast(round(10000 * len(list_filter(toks,
+                           x -> x IN ('the', 'a', 'and', 'of', 'to')))
+                           / cast(len(toks) AS DOUBLE)) AS BIGINT) END)
+             / count(*) / 10000.0, 6) AS avg_stopword_ratio
+FROM t
+"""
+
+
+def q_fingerprint_documents(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        Fingerprinter, fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", concurrency=_conc()).map_batches(
+        lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_DOCUMENTS = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_lang_id_accuracy(sf_dir: str):
+    """Heuristic language-ID vs the labeled lang column: accuracy count.
+    (The predictor is our own heuristic — the oracle checks only agreement
+    counting, itself SQL-inexpressible, so this is a rows-only check.)"""
+    from ray.data.aggregate import Count
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(
+        LanguageId, fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", concurrency=_conc())
+    return pred.map_batches(
+        lambda b: pa.table({
+            "match": pc.equal(b["lang"], b["lang_pred"]),
+        }), batch_format="pyarrow").groupby("match").aggregate(
+        Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_documents(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup_summary(ds, "text", "doc_id")
+
+
+SQL_EXACT_DEDUP_DOCUMENTS = """
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+"""
+
+
+def q_prefix_bucket_dups(sf_dir: str):
+    """n-gram-prefix bucketed near-dup candidates (first 5 tokens)."""
+    from ray.data.aggregate import Count
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        out = [" ".join(tokenize(t)[:5]) if t else "" for t in batch["text"].to_pylist()]
+        return pa.table({"bucket_key": pa.array(out, type=pa.string())})
+
+    counted = ds.map_batches(keys, batch_format="pyarrow") \
+        .groupby("bucket_key").aggregate(Count(alias_name="n_docs"))
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater(t["n_docs"], 1)), batch_format="pyarrow")
+
+
+SQL_PREFIX_BUCKET_DUPS = r"""
+WITH t AS (
+  SELECT array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ') AS bucket_key
+  FROM documents)
+SELECT bucket_key, count(*) AS n_docs FROM t GROUP BY bucket_key HAVING count(*) > 1
+"""
+
+
+def q_minhash_lsh_candidates(sf_dir: str):
+    """MinHash+LSH candidate buckets (rows-only check: LSH banding is not
+    SQL-expressible)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, "text", "doc_id")
+
+
+def q_simhash_buckets(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_buckets(ds, "text", "doc_id")
+
+
+def q_embedding_cosine_pairs(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pairs = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.4)
+    return pairs.map_batches(lambda b: b.select(["id_a", "id_b"]),
+                             batch_format="pyarrow")
+
+
+SQL_EMBEDDING_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float32)
+
+
+def q_ann_topk_cosine(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, _query_vector(sf_dir), k=10,
+                           id_column="vec_id", vec_column="embedding")
+    tbl = pa.Table.from_pylist(top.take_all()).select(["vec_id", "cosine"])
+    return _round_col(tbl, "cosine", 2)
+
+
+SQL_ANN_TOPK_COSINE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(cast(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 2) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_ann_srp_topk(sf_dir: str):
+    """SRP-bucketed approximate top-k (rows-only: approximation is not
+    SQL-expressible)."""
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return srp_bucketed_topk(ds, _query_vector(sf_dir), k=10, bits=6)
+
+
+def q_embedding_norm_stats(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.sqrt((vecs * vecs).sum(axis=1)) if len(vecs) else np.zeros(0)
+        return pa.table({
+            "n": pa.array([len(norms)], type=pa.int64()),
+            "mn": pa.array([float(norms.min()) if len(norms) else None], type=pa.float64()),
+            "mx": pa.array([float(norms.max()) if len(norms) else None], type=pa.float64()),
+            "s": pa.array([float(norms.sum())], type=pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in partials)
+    return pa.table({
+        "n_vecs": pa.array([n], type=pa.int64()),
+        "min_norm": pa.array([round(min(r["mn"] for r in partials), 4)], type=pa.float64()),
+        "max_norm": pa.array([round(max(r["mx"] for r in partials), 4)], type=pa.float64()),
+        "avg_norm": pa.array([round(sum(r["s"] for r in partials) / n, 4)], type=pa.float64()),
+    })
+
+
+SQL_EMBEDDING_NORM_STATS = """
+WITH t AS (
+  SELECT sqrt(list_sum(list_transform(embedding,
+              x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) AS nrm
+  FROM embeddings)
+SELECT count(*) AS n_vecs, round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm, round(avg(nrm), 4) AS avg_norm
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: grouped + windowed (stream-shaped) operators
+# ---------------------------------------------------------------------------
+
+def q_events_per_user(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"))
+
+
+SQL_EVENTS_PER_USER = """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def q_sessions_per_user(sf_dir: str):
+    """Session windowing (30-min gap): partition by key, sort by ts within
+    the group, count gap-starts — the groupby().map_groups window pattern."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(g):
+        import pandas as pd
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(gaps.sum()) + 1]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONS_PER_USER = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events)
+SELECT user_id,
+       count(*) FILTER (WHERE prev IS NULL OR ts - prev > INTERVAL 30 MINUTE)
+         AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed; payload accounting is oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_payload_stats(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    media = ds.map_batches(lambda b: synth_media_batch(b, "text", "doc_id"),
+                           batch_format="pyarrow")
+    feats = media.map_batches(
+        MediaFeatureExtractor, fn_constructor_kwargs={"payload_column": "payload"},
+        batch_format="pyarrow", batch_size=256, concurrency=_conc())
+    return feats.map_batches(
+        lambda b: pa.table({"doc_id": b["media_id"],
+                            "payload_bytes": b["payload_bytes"]}),
+        batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_PAYLOAD_STATS = """
+SELECT cast(doc_id AS VARCHAR) AS doc_id, cast(strlen(text) AS BIGINT) AS payload_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship tokens-table pipelines (synthesized input; rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _tokens_dir_for(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        rows = max(4000, int(6_000_000 * float(sf)))
+    except ValueError:
+        rows = 60_000
+    rows = min(rows, 600_000)
+    out = f"/tmp/jsv_tokens/sf{sf}"
+    write_tokens_parquet(out, rows, n_partitions=16)
+    return out
+
+
+def q_tokens_validation_summary(sf_dir: str):
+    rep = full_report(_tokens_dir_for(sf_dir))
+    return pa.table({
+        "rows": pa.array([rep["rows"]], type=pa.int64()),
+        "invalid_rows": pa.array([rep["invalid_rows"]], type=pa.int64()),
+        "violation_count": pa.array([rep["violation_count"]], type=pa.int64()),
+        "duplicate_doc_ids": pa.array([rep["duplicate_doc_ids"]], type=pa.int64()),
+    })
+
+
+def q_tokens_verdicts(sf_dir: str):
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
+    return validate_dataset(ds)
+
+
+def q_tokens_column_stats(sf_dir: str):
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
+    return column_stats(ds, ["doc_id", "tokens", "n_tok", "source"],
+                        ndv_columns=["doc_id", "source"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # relational / aggregation
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "column_stats_lineitem": (q_column_stats_lineitem, SQL_COLUMN_STATS_LINEITEM),
+    "groupby_source_documents": (q_groupby_source_documents, SQL_GROUPBY_SOURCE_DOCUMENTS),
+    "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
+    "topk_longest_docs": (q_topk_longest_docs, SQL_TOPK_LONGEST_DOCS),
+    "histogram_n_chars": (q_histogram_n_chars, SQL_HISTOGRAM_N_CHARS),
+    # uniqueness / referential / range
+    "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
+    "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
+    "value_range_events": (q_value_range_events, SQL_VALUE_RANGE_EVENTS),
+    # per-document JSON validation
+    "validate_props_events": (q_validate_props_events, SQL_VALIDATE_PROPS_EVENTS),
+    "props_valid_rate": (q_props_valid_rate, SQL_PROPS_VALID_RATE),
+    # string constraints
+    "strlen_stats_documents": (q_strlen_stats_documents, SQL_STRLEN_STATS_DOCUMENTS),
+    "pattern_match_lang": (q_pattern_match_lang, SQL_PATTERN_MATCH_LANG),
+    "enum_violations_lang": (q_enum_violations_lang, SQL_ENUM_VIOLATIONS_LANG),
+    # text analysis
+    "token_counts_documents": (q_token_counts_documents, SQL_TOKEN_COUNTS_DOCUMENTS),
+    "stopword_stats": (q_stopword_stats, SQL_STOPWORD_STATS),
+    "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
+    "lang_id_agreement": (q_lang_id_accuracy, None),
+    # dedup
+    "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP_DOCUMENTS),
+    "prefix_bucket_dups": (q_prefix_bucket_dups, SQL_PREFIX_BUCKET_DUPS),
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
+    "simhash_buckets": (q_simhash_buckets, None),
+    "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
+    # similarity search
+    "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK_COSINE),
+    "ann_srp_topk": (q_ann_srp_topk, None),
+    "embedding_norm_stats": (q_embedding_norm_stats, SQL_EMBEDDING_NORM_STATS),
+    # events grouped/windowed
+    "events_per_user": (q_events_per_user, SQL_EVENTS_PER_USER),
+    "sessions_per_user": (q_sessions_per_user, SQL_SESSIONS_PER_USER),
+    # multimodal plumbing
+    "multimodal_payload_stats": (q_multimodal_payload_stats, SQL_MULTIMODAL_PAYLOAD_STATS),
+    # flagship tokens pipelines (synthesized input -> rows-only driver check)
+    "tokens_validation_summary": (q_tokens_validation_summary, None),
+    "tokens_verdicts": (q_tokens_verdicts, None),
+    "tokens_column_stats": (q_tokens_column_stats, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — the exact baseline: the query matrix is broadcast
+  via ``ray.put`` once; every batch computes a numpy matmul against it and
+  emits only its local top-k; a final tiny sort picks the global top-k.
+  Work per batch is O(batch × n_query × d) flops, fully distributed, no
+  shuffle of the corpus.
+* ``srp_bucketed_topk`` — the scale path: sign-random-projection (LSH)
+  buckets both corpus and query; only matching buckets are scanned.  Same
+  per-batch kernel, corpus scan reduced by ~2^bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _default_concurrency() -> int:
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus - 2)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _TopKScanner:
+    """Per-batch exact scan: cos = batch_norm @ query_norm.T; emit each
+    batch's top-k per query (global top-k ⊆ union of per-batch top-k)."""
+
+    def __init__(self, query_ref, id_column: str, vec_column: str, k: int):
+        import ray
+        q = ray.get(query_ref)
+        self.queries = _normalize(np.asarray(q, dtype=np.float32))
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        vecs = np.array(batch[self.vec_column].to_pylist(), dtype=np.float32)
+        if len(vecs) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             self.id_column: pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        sims = _normalize(vecs) @ self.queries.T            # (n, Q)
+        k = min(self.k, len(vecs))
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(self.queries.shape[0]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            for i in top:
+                out_q.append(qi)
+                out_id.append(ids[int(i)])
+                out_cos.append(round(float(col[i]), 5))
+        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                         self.id_column: pa.array(out_id),
+                         "cosine": pa.array(out_cos, type=pa.float64())})
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_column: str = "vec_id", vec_column: str = "embedding"):
+    """Exact cosine top-k for each query vector.  Returns a Dataset of
+    (query_id, id_column, cosine) — k rows per query after the final prune."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    query_ref = ray.put(queries)
+    partial = ds.map_batches(
+        _TopKScanner,
+        fn_constructor_kwargs={"query_ref": query_ref, "id_column": id_column,
+                               "vec_column": vec_column, "k": k},
+        batch_format="pyarrow", concurrency=_default_concurrency())
+
+    # final prune: per-query top-k over the (tiny) union of batch top-ks
+    def prune(g):
+        g = g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+        return g
+
+    return partial.groupby("query_id").map_groups(prune, batch_format="pandas")
+
+
+def srp_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-random-projection bucket ids: bit b set iff v · plane_b > 0."""
+    bits = (mat @ planes.T) > 0
+    out = np.zeros(len(mat), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.int64) << b
+    return out
+
+
+class _SRPTopKScanner(_TopKScanner):
+    """Scans only rows whose SRP bucket matches some query bucket (probing
+    the exact bucket; multi-probe = flip one bit, also matched)."""
+
+    def __init__(self, query_ref, planes_ref, id_column, vec_column, k):
+        import ray
+        super().__init__(query_ref, id_column, vec_column, k)
+        self.planes = ray.get(planes_ref)
+        qsig = srp_signature(self.queries, self.planes)
+        probe = set(qsig.tolist())
+        for s in qsig.tolist():                 # multi-probe: 1-bit flips
+            for b in range(self.planes.shape[0]):
+                probe.add(s ^ (1 << b))
+        self.probe = probe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[self.vec_column].to_pylist(), dtype=np.float32)
+        if len(vecs) == 0:
+            return super().__call__(batch)
+        sig = srp_signature(_normalize(vecs), self.planes)
+        keep = np.array([s in self.probe for s in sig.tolist()], dtype=bool)
+        filtered = batch.filter(pa.array(keep))
+        return super().__call__(filtered)
+
+
+def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
+                      id_column: str = "vec_id", vec_column: str = "embedding",
+                      seed: int = 13):
+    """Approximate top-k: SRP-bucket pruning (scan ~ (1+bits)/2^bits of the
+    corpus with 1-bit multi-probe), same final prune as the exact path."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    dim = queries.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim)).astype(np.float32)
+    query_ref = ray.put(queries)
+    planes_ref = ray.put(planes)
+    partial = ds.map_batches(
+        _SRPTopKScanner,
+        fn_constructor_kwargs={"query_ref": query_ref, "planes_ref": planes_ref,
+                               "id_column": id_column, "vec_column": vec_column,
+                               "k": k},
+        batch_format="pyarrow", concurrency=_default_concurrency())
+
+    def prune(g):
+        return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_id").map_groups(prune, batch_format="pandas")

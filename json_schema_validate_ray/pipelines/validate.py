@@ -1,0 +1,232 @@
+"""The flagship pipeline: read -> validate -> aggregate -> write, with
+per-partition checkpoint/resume and lineage + throughput metrics.
+
+Layout (resumable; one directory per input partition, atomically renamed):
+
+    out_dir/
+      verdicts/part-XXXXX/ *.parquet      doc_id, n_tok?, valid, n_violations, violations
+      violations/part-XXXXX/ *.parquet    doc_id, constraint_id, path, message, observed
+      manifest/part-XXXXX.json            per-partition lineage + metrics
+      summary.json                        run-level rollup
+
+A rerun skips partitions whose manifest entry exists — "resumable from
+per-partition checkpoints with lineage + throughput metrics written per
+stage" (BASELINE.json north_rule).  At design scale each partition is a
+bounded slice of input files; the per-partition pipeline is itself a
+streaming Ray Data pipeline, so partitions bound the re-run unit, not memory.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.checks import column_stats, duplicate_keys
+from ..stages.vectorized import ListLengthEquals, ValidityAnnotator, ViolationExtractor
+from .schemas import TOKENS_SCHEMA
+
+VERDICT_COLUMNS = ["doc_id", "valid", "n_violations", "violations"]
+
+
+def default_cross_checks():
+    return (ListLengthEquals("n_tok", "tokens"),)
+
+
+def _default_concurrency() -> int:
+    """Actor-pool size: leave headroom for the read and write stages so the
+    validator pool does not starve them (ray_guide.md: a pool reserving every
+    CPU serializes the pipeline)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus - 2)
+
+
+def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
+                     id_column: str = "doc_id", batch_size: int = 16384,
+                     concurrency=None):
+    """Lazy verdict dataset: input columns are pruned to the id and the
+    verdict columns; violations ride along as a JSON column (single pass).
+    The stage is a stateful actor pool — the compiled plan (all regexes
+    included) is built once per actor (the reference's per-backend session
+    cache pattern, json_schema_validate.c:88-92)."""
+    cross = default_cross_checks() if cross_checks is None else tuple(cross_checks)
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    return ds.map_batches(
+        ValidityAnnotator,
+        fn_constructor_kwargs={
+            "schema": schema, "id_column": id_column, "cross_checks": cross,
+            "keep_columns": [id_column],
+        },
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def violations_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
+                       id_column: str = "doc_id", batch_size: int = 16384,
+                       concurrency=None):
+    cross = default_cross_checks() if cross_checks is None else tuple(cross_checks)
+    return ds.map_batches(
+        ViolationExtractor,
+        fn_constructor_kwargs={"schema": schema, "id_column": id_column,
+                               "cross_checks": cross},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency())
+
+
+def _explode_violations(batch: pa.Table) -> pa.Table:
+    """verdict rows (with JSON violations column) -> violation rows."""
+    bad = batch.filter(pc.is_valid(batch["violations"]))
+    doc_ids, cids, paths, msgs, obs = [], [], [], [], []
+    for did, vtext in zip(bad["doc_id"].to_pylist(), bad["violations"].to_pylist()):
+        for e in json.loads(vtext):
+            doc_ids.append(str(did))
+            cids.append(e["constraint_id"])
+            paths.append(e["path"])
+            msgs.append(e["message"])
+            obs.append(e["observed"])
+    return pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.string()),
+        "constraint_id": pa.array(cids, type=pa.string()),
+        "path": pa.array(paths, type=pa.string()),
+        "message": pa.array(msgs, type=pa.string()),
+        "observed": pa.array(obs, type=pa.string()),
+    })
+
+
+def _atomic_write_dir(ds_out, dest: str):
+    tmp = dest + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds_out.write_parquet(tmp)
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.replace(tmp, dest)
+
+
+def list_partitions(input_path: str, files_per_partition: int = 1) -> list[list[str]]:
+    if os.path.isfile(input_path):
+        return [[input_path]]
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    return [files[i:i + files_per_partition]
+            for i in range(0, len(files), files_per_partition)]
+
+
+def run_partitioned_validation(input_path: str, out_dir: str,
+                               schema=TOKENS_SCHEMA, cross_checks=None,
+                               files_per_partition: int = 4,
+                               batch_size: int = 16384) -> dict:
+    """Resumable partitioned run.  Per partition: streaming validate ->
+    verdict parquet + violation parquet + manifest entry with lineage
+    (input files, row counts, wall time, rows/s).  Completed partitions are
+    skipped on re-run."""
+    import ray.data as rd
+
+    manifest_dir = os.path.join(out_dir, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    partitions = list_partitions(input_path, files_per_partition)
+
+    run_summary = {"partitions": len(partitions), "skipped": 0, "rows": 0,
+                   "invalid_rows": 0, "violation_rows": 0, "wall_sec": 0.0}
+    t_run = time.perf_counter()
+
+    for pid, files in enumerate(partitions):
+        tag = f"part-{pid:05d}"
+        mpath = os.path.join(manifest_dir, tag + ".json")
+        if os.path.exists(mpath):
+            run_summary["skipped"] += 1
+            with open(mpath) as f:
+                m = json.load(f)
+            run_summary["rows"] += m["rows"]
+            run_summary["invalid_rows"] += m["invalid_rows"]
+            run_summary["violation_rows"] += m["violation_rows"]
+            continue
+
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(files)
+        verdicts = validate_dataset(ds, schema, cross_checks,
+                                    batch_size=batch_size)
+        vdir = os.path.join(out_dir, "verdicts", tag)
+        _atomic_write_dir(verdicts, vdir)
+
+        # violations from the (small) verdict output — no second input scan
+        vds = rd.read_parquet(vdir, columns=["doc_id", "violations"])
+        viol = vds.map_batches(_explode_violations, batch_format="pyarrow")
+        wdir = os.path.join(out_dir, "violations", tag)
+        _atomic_write_dir(viol, wdir)
+
+        stats_ds = rd.read_parquet(vdir, columns=["valid"])
+        rows = stats_ds.count()
+        invalid = rows - int(stats_ds.sum("valid") or 0)
+        viol_rows = rd.read_parquet(wdir).count()
+        wall = time.perf_counter() - t0
+
+        manifest = {
+            "partition": tag,
+            "input_files": files,
+            "rows": rows,
+            "invalid_rows": invalid,
+            "violation_rows": viol_rows,
+            "partition_pass": viol_rows == 0,
+            "wall_sec": wall,
+            "rows_per_sec": rows / wall if wall > 0 else None,
+            "stages": {
+                "validate_write": {"output": vdir},
+                "violations_write": {"output": wdir},
+            },
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+
+        run_summary["rows"] += rows
+        run_summary["invalid_rows"] += invalid
+        run_summary["violation_rows"] += viol_rows
+
+    run_summary["wall_sec"] = time.perf_counter() - t_run
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(run_summary, f, indent=1)
+    return run_summary
+
+
+def full_report(input_path: str, schema=TOKENS_SCHEMA,
+                batch_size: int = 16384) -> dict:
+    """One-shot (non-checkpointed) report over an input directory: validation
+    counts + column stats + exact duplicate count.  Streaming end to end; the
+    only materialized results are aggregates."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_path)
+    verdicts = validate_dataset(ds, schema, batch_size=batch_size)
+    agg = verdicts.map_batches(
+        lambda b: pa.table({
+            "rows": pa.array([b.num_rows], type=pa.int64()),
+            "invalid": pa.array([int(pc.sum(pc.invert(b["valid"])).as_py() or 0)], type=pa.int64()),
+            "violations": pa.array([int(pc.sum(b["n_violations"]).as_py() or 0)], type=pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    rows = sum(r["rows"] for r in agg)
+    invalid = sum(r["invalid"] for r in agg)
+    violations = sum(r["violations"] for r in agg)
+
+    stats = column_stats(rd.read_parquet(input_path),
+                         ["doc_id", "tokens", "n_tok", "source"],
+                         ndv_columns=["doc_id", "source"])
+    dups = duplicate_keys(rd.read_parquet(input_path, columns=["doc_id"]), "doc_id")
+    dup_rows = dups.count()
+    return {
+        "rows": rows,
+        "invalid_rows": invalid,
+        "violation_count": violations,
+        "duplicate_doc_ids": dup_rows,
+        "column_stats": stats.to_pylist(),
+    }

@@ -1,0 +1,255 @@
+"""Table-level checks (SURVEY.md §2.4) — the wide/aggregate side of the engine.
+
+Design rules for 100 TB scale:
+
+* **Tree-style aggregation, not shuffles**, wherever the result is small:
+  column stats / NDV / histograms / categorical counts are computed as
+  per-block partials inside ``map_batches`` (one tiny serialized row per
+  block) and merged at the end — the merge input is O(#blocks), never O(rows).
+* **Pre-aggregated (combiner) groupby** for exact uniqueness: duplicate
+  counting first collapses each batch to one row per (key, batch) via
+  vectorized ``value_counts``, THEN shuffles the collapsed rows.  A hot key
+  (adversarial skew) therefore contributes at most one row per block to the
+  shuffle instead of its full multiplicity — the combiner is the skew
+  mitigation; no single reducer ever sees the raw hot-key rows.
+* **Broadcast semi-joins** for referential checks: the small side is put in
+  the object store ONCE (``ray.put``) and read per actor, never shipped per
+  batch and never shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.sketches import (
+    ColumnStats,
+    Histogram,
+    HyperLogLog,
+    chi_square,
+    ks_statistic,
+)
+
+# ---------------------------------------------------------------------------
+# Column stats + NDV sketches (partial + final; no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _stats_partial(batch: pa.Table, columns: list[str], ndv_columns: set,
+                   hll_p: int = 14) -> pa.Table:
+    """Stateless map_batches task: one serialized partial row per batch per
+    column (no per-task setup worth an actor pool)."""
+    cols, stats_blobs, hll_blobs = [], [], []
+    for col in columns:
+        if col not in batch.column_names:
+            continue
+        arr = batch[col]
+        cs = ColumnStats()
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            # list columns: stats over the element lengths
+            cs.update_arrow(pc.list_value_length(arr))
+        else:
+            cs.update_arrow(arr)
+        cols.append(col)
+        stats_blobs.append(cs.to_bytes())
+        if col in ndv_columns and not pa.types.is_nested(arr.type):
+            h = HyperLogLog(p=hll_p)
+            h.update(arr)
+            hll_blobs.append(h.to_bytes())
+        else:
+            hll_blobs.append(None)
+    return pa.table({
+        "column": pa.array(cols, type=pa.string()),
+        "stats": pa.array(stats_blobs, type=pa.binary()),
+        "hll": pa.array(hll_blobs, type=pa.binary()),
+    })
+
+
+def column_stats(ds, columns: list[str], ndv_columns: list[str] | None = None,
+                 batch_size: int = 65536) -> pa.Table:
+    """Per-column min/max/null-rate/mean/std + HLL NDV estimate.
+
+    One streaming pass; the only driver-side materialization is the partials
+    table (O(#blocks × #columns) tiny rows)."""
+    ndv_columns = list(ndv_columns if ndv_columns is not None else columns)
+    ndv_set = set(ndv_columns)
+    partials = ds.map_batches(
+        lambda b: _stats_partial(b, columns, ndv_set),
+        batch_format="pyarrow", batch_size=batch_size).take_all()
+
+    merged: dict[str, ColumnStats] = {}
+    hlls: dict[str, HyperLogLog] = {}
+    for row in partials:
+        col = row["column"]
+        cs = ColumnStats.from_bytes(row["stats"])
+        merged[col] = merged[col].merge(cs) if col in merged else cs
+        if row["hll"] is not None:
+            h = HyperLogLog.from_bytes(row["hll"])
+            hlls[col] = hlls[col].merge(h) if col in hlls else h
+
+    out = {"column": [], "row_count": [], "null_count": [], "null_rate": [],
+           "min_value": [], "max_value": [], "mean_value": [], "std_value": [],
+           "ndv_estimate": []}
+    for col in columns:
+        if col not in merged:
+            continue
+        cs = merged[col]
+        out["column"].append(col)
+        out["row_count"].append(cs.count)
+        out["null_count"].append(cs.nulls)
+        out["null_rate"].append(cs.null_rate)
+        out["min_value"].append(None if cs.minimum is None else str(cs.minimum))
+        out["max_value"].append(None if cs.maximum is None else str(cs.maximum))
+        out["mean_value"].append(cs.mean)
+        out["std_value"].append(cs.std)
+        out["ndv_estimate"].append(
+            float(hlls[col].estimate()) if col in hlls else None)
+    return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Exact uniqueness (combiner + groupby-sum shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _partial_counts(batch: pa.Table, key: str) -> pa.Table:
+    vc = batch[key].value_counts()
+    if isinstance(vc, pa.ChunkedArray):
+        vc = vc.combine_chunks()
+    return pa.table({
+        key: vc.field("values"),
+        "partial_count": vc.field("counts").cast(pa.int64()),
+    })
+
+
+def duplicate_keys(ds, key: str = "doc_id", batch_size: int = 65536):
+    """Exact duplicate detection on ``key``: per-batch ``value_counts``
+    combiner -> ``groupby(key).sum`` over the collapsed rows -> filter > 1.
+    Returns a Dataset of (key, dup_count) rows.
+
+    The combiner bounds shuffle input per key to #blocks rows, which is the
+    documented mitigation for the planted hot key (sources/tokens.py
+    HOT_DOC_ID) — the north rule's skew requirement."""
+    partials = ds.map_batches(lambda b: _partial_counts(b, key),
+                              batch_format="pyarrow", batch_size=batch_size)
+    totals = partials.groupby(key).sum("partial_count")
+    cnt_col = "sum(partial_count)"
+    return (totals
+            .map_batches(lambda t: (t
+                                    .filter(pc.greater(t[cnt_col], 1))
+                                    .rename_columns([key, "dup_count"])),
+                         batch_format="pyarrow"))
+
+
+def uniqueness_report(ds, key: str = "doc_id") -> pa.Table:
+    """Materialized duplicate report (duplicate keys are assumed rare)."""
+    dups = duplicate_keys(ds, key)
+    tbl = pa.Table.from_pylist(dups.take_all(),
+                               schema=pa.schema([(key, pa.string()),
+                                                 ("dup_count", pa.int64())]))
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# Referential check (broadcast semi-join; no shuffle)
+# ---------------------------------------------------------------------------
+
+
+class _ReferentialCheck:
+    """Emits violation rows for values of ``column`` not in the broadcast
+    allowed set.  The set is fetched from the object store once per actor."""
+
+    def __init__(self, column: str, allowed_ref, id_column: str = "doc_id"):
+        import ray
+        self.column = column
+        self.id_column = id_column
+        allowed = ray.get(allowed_ref) if not isinstance(allowed_ref, (list, set, tuple)) else allowed_ref
+        self.allowed = pa.array(sorted(set(allowed)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.column]
+        ok = pc.is_in(arr, value_set=self.allowed)
+        bad_mask = pc.and_kleene(pc.invert(ok.fill_null(False) if isinstance(ok, pa.Array) else ok.combine_chunks().fill_null(False)),
+                                 pc.is_valid(arr))
+        bad = batch.filter(bad_mask)
+        n = bad.num_rows
+        return pa.table({
+            "doc_id": bad[self.id_column].cast(pa.string()) if self.id_column in bad.column_names
+                      else pa.array([None] * n, type=pa.string()),
+            "constraint_id": pa.array([f"{self.column}/referential"] * n, type=pa.string()),
+            "path": pa.array([self.column] * n, type=pa.string()),
+            "message": pa.array([f"Value not in referenced key set ({self.column})"] * n,
+                                type=pa.string()),
+            "observed": bad[self.column].cast(pa.string()),
+        })
+
+
+def referential_violations(ds, column: str, allowed, id_column: str = "doc_id",
+                           batch_size: int = 65536):
+    """Broadcast-small-side semi-join: ``allowed`` (an iterable of keys) is
+    ``ray.put`` once; every task reads it from the object store."""
+    import ray
+    allowed_ref = ray.put(sorted(set(allowed)))
+    return ds.map_batches(
+        _ReferentialCheck,
+        fn_constructor_kwargs={"column": column, "allowed_ref": allowed_ref,
+                               "id_column": id_column},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (categorical chi-square + numeric KS; partial + final)
+# ---------------------------------------------------------------------------
+
+
+def categorical_counts(ds, column: str, batch_size: int = 65536) -> dict[str, int]:
+    """Exact category -> count map via the same combiner + small merge
+    (requires low cardinality, e.g. ``source``)."""
+    partials = ds.map_batches(lambda b: _partial_counts(b, column),
+                              batch_format="pyarrow", batch_size=batch_size).take_all()
+    out: dict[str, int] = {}
+    for row in partials:
+        k = str(row[column])
+        out[k] = out.get(k, 0) + int(row["partial_count"])
+    return out
+
+
+def _hist_partial(batch: pa.Table, column: str, lo: float, hi: float,
+                  bins: int, of_list_lengths: bool) -> pa.Table:
+    arr = batch[column]
+    if of_list_lengths:
+        arr = pc.list_value_length(arr)
+    h = Histogram(lo, hi, bins)
+    vals = arr.combine_chunks().drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+    h.update(vals)
+    return pa.table({"hist": pa.array([h.to_bytes()], type=pa.binary())})
+
+
+def column_histogram(ds, column: str, lo: float, hi: float, bins: int = 256,
+                     of_list_lengths: bool = False,
+                     batch_size: int = 65536) -> Histogram:
+    partials = ds.map_batches(
+        lambda b: _hist_partial(b, column, lo, hi, bins, of_list_lengths),
+        batch_format="pyarrow", batch_size=batch_size).take_all()
+    merged = Histogram(lo, hi, bins)
+    for row in partials:
+        merged.merge(Histogram.from_bytes(row["hist"]))
+    return merged
+
+
+def drift_report(ds, baseline_counts: dict[str, int], baseline_hist: Histogram,
+                 cat_column: str = "source", num_column: str = "n_tok") -> dict:
+    """Distribution drift vs a baseline snapshot: chi-square on the
+    categorical column, KS on the numeric column.  Partials merged treewise;
+    nothing shuffles."""
+    counts = categorical_counts(ds, cat_column)
+    hist = column_histogram(ds, num_column, baseline_hist.lo, baseline_hist.hi,
+                            baseline_hist.bins)
+    return {
+        "cat_column": cat_column,
+        "chi_square": chi_square(counts, baseline_counts),
+        "observed_counts": counts,
+        "num_column": num_column,
+        "ks_statistic": ks_statistic(hist, baseline_hist),
+    }

@@ -1,0 +1,291 @@
+"""Mergeable sketches for table-level checks (SURVEY.md §2.4).
+
+All sketches follow the partial+final pattern: update vectorized per batch
+inside ``map_batches``, serialize to bytes, merge associatively in a tiny
+final stage — never a full shuffle.  Algorithms are the standard published
+ones: HyperLogLog (Flajolet et al. 2007) with the Heule et al. small-range
+correction, fixed-bin histograms, and two-sample chi-square / KS statistics.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash64(arr) -> np.ndarray:
+    """Stable vectorized 64-bit hash of an Arrow array's values.
+
+    Uses xxhash-free splitmix64 finalization over per-value CRC-free byte
+    hashes: string/binary values are hashed via numpy from their UTF-8 bytes,
+    numeric values from their bit patterns.  Deterministic across workers and
+    runs (no PYTHONHASHSEED dependence)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_floating(arr.type):
+        v = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        x = v.astype(np.float64, copy=False).view(np.uint64).copy()
+    elif pa.types.is_integer(arr.type):
+        v = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        x = v.astype(np.int64, copy=False).view(np.uint64).copy()
+    else:
+        arr = arr.cast(pa.string())
+        # vectorized FNV-1a over the raw value buffer using offsets
+        sarr = arr.fill_null("")
+        buf = np.frombuffer(sarr.buffers()[2] or b"", dtype=np.uint8) if sarr.buffers()[2] else np.zeros(0, np.uint8)
+        offs = np.frombuffer(sarr.buffers()[1], dtype=np.int32)[sarr.offset:sarr.offset + len(sarr) + 1].astype(np.int64)
+        # per-value polynomial hash via segmented evaluation
+        x = _segmented_bytes_hash(buf, offs)
+    # splitmix64 finalizer
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(30); x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27); x = x * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _segmented_bytes_hash(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Vectorized per-segment polynomial byte hash: for segment s with bytes
+    b_0..b_k, hash = sum(b_i * P^i) mod 2^64, xor'd with a length term.
+    O(total_bytes) numpy; position weights looked up from a precomputed
+    powers-of-P table (max segment length sized)."""
+    n = len(offs) - 1
+    total = int(offs[-1] - offs[0])
+    if total == 0 or len(buf) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    base = int(offs[0])
+    lengths = np.diff(offs)
+    seg_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    pos_in_seg = (np.arange(total, dtype=np.int64) + base - offs[seg_ids])
+    max_len = int(lengths.max())
+    powers = np.empty(max_len, dtype=np.uint64)
+    powers[0] = 1
+    if max_len > 1:
+        np.multiply.accumulate(
+            np.full(max_len - 1, 0x100000001B3, dtype=np.uint64),  # FNV prime
+            out=powers[1:])
+    contrib = buf[base:base + total].astype(np.uint64) * powers[pos_in_seg]
+    out = np.zeros(n, dtype=np.uint64)
+    np.add.at(out, seg_ids, contrib)
+    return out ^ (lengths.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+
+@dataclass
+class HyperLogLog:
+    """Dense HLL, p registers bits; merge = elementwise max."""
+
+    p: int = 14
+    registers: np.ndarray = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.registers is None:
+            self.registers = np.zeros(1 << self.p, dtype=np.uint8)
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        m = 1 << self.p
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of remaining bits + 1, capped
+        lz = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            # count leading zeros via float64 exponent trick is lossy; use
+            # bit_length: 64 - bit_length(rest)
+            r = rest[nz]
+            bl = np.zeros(len(r), dtype=np.int64)
+            rr = r.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                step = rr >> np.uint64(shift)
+                has = step != 0
+                bl[has] += shift
+                rr[has] = step[has]
+            bl += 1  # bit_length
+            lz_nz = (64 - bl + 1).astype(np.uint8)
+            lz[nz] = lz_nz
+        np.maximum.at(self.registers, idx, lz)
+
+    def update(self, arr) -> None:
+        self.update_hashes(_hash64(arr))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(len(self.registers))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = float((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)  # linear counting, small range
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.p, self.registers), protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p, regs = pickle.loads(b)
+        return cls(p=p, registers=regs)
+
+
+@dataclass
+class Histogram:
+    """Fixed-bin numeric histogram (mergeable by counts-add).  Serves as the
+    token-length distribution sketch and the KS-drift input."""
+
+    lo: float
+    hi: float
+    bins: int = 256
+    counts: np.ndarray = field(default=None)  # type: ignore[assignment]
+    n_below: int = 0
+    n_above: int = 0
+
+    def __post_init__(self):
+        if self.counts is None:
+            self.counts = np.zeros(self.bins, dtype=np.int64)
+
+    def update(self, values: np.ndarray) -> None:
+        values = values[~np.isnan(values)] if values.dtype.kind == "f" else values
+        below = values < self.lo
+        above = values >= self.hi
+        self.n_below += int(below.sum())
+        self.n_above += int(above.sum())
+        inb = values[~below & ~above]
+        if len(inb):
+            idx = ((inb - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64)
+            np.clip(idx, 0, self.bins - 1, out=idx)
+            self.counts += np.bincount(idx, minlength=self.bins)
+
+    def merge(self, other: "Histogram") -> "Histogram":
+        self.counts += other.counts
+        self.n_below += other.n_below
+        self.n_above += other.n_above
+        return self
+
+    @property
+    def total(self) -> int:
+        return int(self.counts.sum()) + self.n_below + self.n_above
+
+    def cdf(self) -> np.ndarray:
+        t = self.total
+        if t == 0:
+            return np.zeros(self.bins)
+        return (self.n_below + np.cumsum(self.counts)) / t
+
+    def quantile(self, q: float) -> float:
+        c = self.cdf()
+        i = int(np.searchsorted(c, q))
+        i = min(i, self.bins - 1)
+        return self.lo + (i + 0.5) * (self.hi - self.lo) / self.bins
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.lo, self.hi, self.bins, self.counts,
+                             self.n_below, self.n_above), protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "Histogram":
+        lo, hi, bins, counts, nb, na = pickle.loads(b)
+        return cls(lo=lo, hi=hi, bins=bins, counts=counts, n_below=nb, n_above=na)
+
+
+def ks_statistic(a: Histogram, b: Histogram) -> float:
+    """Two-sample KS distance from binned CDFs (same binning required)."""
+    assert (a.lo, a.hi, a.bins) == (b.lo, b.hi, b.bins)
+    return float(np.abs(a.cdf() - b.cdf()).max())
+
+
+def chi_square(observed: dict[str, int], expected: dict[str, int]) -> float:
+    """Pearson chi-square of an observed categorical distribution against a
+    baseline (expected scaled to the observed total)."""
+    keys = sorted(set(observed) | set(expected))
+    obs = np.array([observed.get(k, 0) for k in keys], dtype=np.float64)
+    exp = np.array([expected.get(k, 0) for k in keys], dtype=np.float64)
+    if exp.sum() == 0 or obs.sum() == 0:
+        return 0.0
+    exp = exp * (obs.sum() / exp.sum())
+    nz = exp > 0
+    stat = float(((obs[nz] - exp[nz]) ** 2 / exp[nz]).sum())
+    # categories observed but absent from baseline contribute their full count
+    stat += float(obs[~nz].sum())
+    return stat
+
+
+@dataclass
+class ColumnStats:
+    """Mergeable per-column stats partial: count / nulls / min / max / sum /
+    sum of squares (for mean+std) — the classic distributed aggregation."""
+
+    count: int = 0
+    nulls: int = 0
+    minimum: float | str | None = None
+    maximum: float | str | None = None
+    total: float = 0.0
+    total_sq: float = 0.0
+    is_numeric: bool = True
+
+    def update_arrow(self, arr) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        nn = arr.null_count
+        self.count += n
+        self.nulls += nn
+        if n == nn:
+            return
+        if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            s = pc.sum(arr).as_py() or 0
+            sq = pc.sum(pc.multiply(arr, arr)).as_py() or 0
+            self.total += float(s)
+            self.total_sq += float(sq)
+        else:
+            self.is_numeric = False
+            mm = pc.min_max(arr.cast(pa.string()))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        self.minimum = lo if self.minimum is None else min(self.minimum, lo)
+        self.maximum = hi if self.maximum is None else max(self.maximum, hi)
+
+    def merge(self, other: "ColumnStats") -> "ColumnStats":
+        self.count += other.count
+        self.nulls += other.nulls
+        self.total += other.total
+        self.total_sq += other.total_sq
+        self.is_numeric = self.is_numeric and other.is_numeric
+        for attr, fn in (("minimum", min), ("maximum", max)):
+            a, b = getattr(self, attr), getattr(other, attr)
+            setattr(self, attr, b if a is None else (a if b is None else fn(a, b)))
+        return self
+
+    @property
+    def null_rate(self) -> float:
+        return self.nulls / self.count if self.count else 0.0
+
+    @property
+    def mean(self) -> float | None:
+        nn = self.count - self.nulls
+        return self.total / nn if (self.is_numeric and nn) else None
+
+    @property
+    def std(self) -> float | None:
+        nn = self.count - self.nulls
+        if not (self.is_numeric and nn):
+            return None
+        var = max(0.0, self.total_sq / nn - (self.total / nn) ** 2)
+        return float(np.sqrt(var))
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self.__dict__, protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "ColumnStats":
+        o = cls()
+        o.__dict__.update(pickle.loads(b))
+        return o

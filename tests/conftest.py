@@ -9,10 +9,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 @pytest.fixture(scope="session")
 def ray_session():
     """One Ray session for the whole pytest run (see BASELINE.md verification)."""
+    import logging
+
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
-                 ignore_reinit_error=True)
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     yield
     ray.shutdown()

@@ -1,0 +1,128 @@
+"""Unit tests for text-analysis, dedup, similarity and multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from json_schema_validate_ray.pipelines.dedup import jaccard
+from json_schema_validate_ray.stages.multimodal import (
+    DecodeUnavailable,
+    FrameSampler,
+    MediaFeatureExtractor,
+    _decode_image_real,
+    synth_media_batch,
+)
+from json_schema_validate_ray.stages.text import (
+    Fingerprinter,
+    LanguageId,
+    MinHasher,
+    QualityScorer,
+    SimHasher,
+    TokenCounter,
+    tokenize,
+)
+
+
+def _docs(texts, ids=None):
+    ids = ids or [f"d{i}" for i in range(len(texts))]
+    return pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def test_tokenize_matches_sql_semantics():
+    assert tokenize("a b  c ") == ["a", "b", "c"]
+    assert tokenize("") == []
+    assert tokenize("   ") == []
+    assert tokenize("one") == ["one"]
+
+
+def test_token_counter():
+    out = TokenCounter()(_docs(["a b c", "", "hello,world 42"]))
+    assert out["n_tokens"].to_pylist() == [3, 0, 2]
+    assert out["n_bpe_ish"].to_pylist()[2] == 5  # hello , world 4 2
+
+
+def test_quality_scorer_ranges():
+    out = QualityScorer()(_docs(["the cat sat on the mat", "!!!!", ""]))
+    scores = out["quality_score"].to_pylist()
+    assert all(0 <= s <= 1 for s in scores)
+    assert out["stopword_ratio"].to_pylist()[0] == pytest.approx(2 / 6, abs=1e-3)
+    assert scores[0] > scores[1]
+
+
+def test_language_id_heuristic():
+    out = LanguageId()(_docs([
+        "the cat and the dog of a house",
+        "der Hund und die Katze ist nicht da",
+        "le chat est dans la maison et les arbres",
+        "el gato es un animal que vive con los perros",
+        "这是一个中文句子",
+    ]))
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "zh"]
+
+
+def test_fingerprinter_matches_md5():
+    import hashlib
+    out = Fingerprinter()(_docs(["hello world"]))
+    assert out["fingerprint"][0].as_py() == hashlib.md5(b"hello world").hexdigest()
+    assert out["rolling_hash"][0].as_py() >= 0
+
+
+def test_minhash_near_dups_share_bands():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about distributed systems " * 10
+    mh = MinHasher()
+    out = mh(_docs([base, near, far]))
+    shared_near = sum(out[f"band_{j}"][0].as_py() == out[f"band_{j}"][1].as_py()
+                      for j in range(mh.bands))
+    shared_far = sum(out[f"band_{j}"][0].as_py() == out[f"band_{j}"][2].as_py()
+                     for j in range(mh.bands))
+    assert shared_near >= 1
+    assert shared_far == 0
+
+
+def test_minhash_deterministic():
+    mh1, mh2 = MinHasher(), MinHasher()
+    t = "some stable text for hashing determinism checks"
+    assert np.array_equal(mh1.signature(t), mh2.signature(t))
+
+
+def test_simhash_hamming():
+    sh = SimHasher()
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("dog", "cat")
+    far = "unrelated words entirely disjoint vocabulary set " * 5
+    h0, h1, h2 = (sh.simhash(t) for t in (base, near, far))
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h0, h1) < ham(h0, h2)
+
+
+def test_jaccard():
+    assert jaccard("a b c d e", "a b c d e") == 1.0
+    assert jaccard("a b c d e", "v w x y z") == 0.0
+    assert 0 < jaccard("a b c d e f g", "a b c d e f zzz") < 1
+
+
+def test_media_feature_extractor_contract():
+    media = synth_media_batch(_docs(["hello", "world!"]))
+    out = MediaFeatureExtractor()(media)
+    assert out["payload_bytes"].to_pylist() == [5, 6]
+    feats = out["features"].to_pylist()
+    assert len(feats[0]) == 16
+    # deterministic fake decode
+    out2 = MediaFeatureExtractor()(media)
+    assert feats == out2["features"].to_pylist()
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(DecodeUnavailable):
+        _decode_image_real(b"\x89PNG")
+
+
+def test_frame_sampler_explodes():
+    media = synth_media_batch(_docs(["abc"]))
+    out = FrameSampler(n_frames=3)(media)
+    assert out.num_rows == 3
+    assert out["frame_idx"].to_pylist() == [0, 1, 2]
+    assert len(out["frame"][0].as_py()) == 8 * 8 * 3
