@@ -70,7 +70,7 @@ def run_bench() -> dict:
     # sequences validated/sec)
     def tokens_validate():
         ds = rd.read_parquet(tokens_dir)
-        verdicts = validate_dataset(ds, batch_size=32768)
+        verdicts = validate_dataset(ds, batch_size=8192)
         # consume as a stream: count invalid without materializing rows
         import pyarrow as pa
         import pyarrow.compute as pc

@@ -98,6 +98,38 @@ def _np_bool(mask) -> np.ndarray:
     return mask.fill_null(False).to_numpy(zero_copy_only=False)
 
 
+def _numeric_numpy(arr: pa.Array, notnull: np.ndarray) -> Optional[np.ndarray]:
+    """Numeric Arrow array -> numpy values for bound checks, zero-copy when
+    null-free.  Comparing in numpy against a scalar of the SAME kind avoids
+    pyarrow's whole-array cast to float64 (a silent 10x on int32 columns)."""
+    if not (pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)):
+        return None
+    if arr.null_count == 0:
+        return arr.to_numpy(zero_copy_only=True)
+    return arr.fill_null(0).to_numpy(zero_copy_only=False)
+
+
+def _bound_value(v, vals: np.ndarray):
+    """Bound as the cheapest comparable scalar: keep integral bounds integral
+    so int columns compare without promotion."""
+    from decimal import Decimal
+    if isinstance(v, Decimal):
+        v = int(v) if v == v.to_integral_value() else float(v)
+    if isinstance(v, float) and v.is_integer() and vals.dtype.kind in "iu":
+        return int(v)
+    return v
+
+
+# (keyword, violated-predicate, reference message) for numeric bounds,
+# json_schema_validate.c:1009-1058
+_NUMERIC_BOUNDS = (
+    ("minimum", lambda v, b: v < b, "Value is less than minimum"),
+    ("maximum", lambda v, b: v > b, "Value exceeds maximum"),
+    ("exclusiveMinimum", lambda v, b: v <= b, "Value must be greater than exclusiveMinimum"),
+    ("exclusiveMaximum", lambda v, b: v >= b, "Value must be less than exclusiveMaximum"),
+)
+
+
 class ColumnViolation:
     """One vectorized constraint's result on one batch column."""
     __slots__ = ("constraint_id", "bad", "detail")
@@ -233,19 +265,11 @@ class ColumnCheckPlan:
 
         # ---- numeric bounds (number columns only, like check_number_constraints) ----
         if actual_type in ("integer", "number"):
-            num = arr
-            if is_number(s.get("minimum")):
-                add("minimum", ~_np_bool(pc.greater_equal(num, pa.scalar(float(s["minimum"])))),
-                    "Value is less than minimum")
-            if is_number(s.get("maximum")):
-                add("maximum", ~_np_bool(pc.less_equal(num, pa.scalar(float(s["maximum"])))),
-                    "Value exceeds maximum")
-            if is_number(s.get("exclusiveMinimum")):
-                add("exclusiveMinimum", ~_np_bool(pc.greater(num, pa.scalar(float(s["exclusiveMinimum"])))),
-                    "Value must be greater than exclusiveMinimum")
-            if is_number(s.get("exclusiveMaximum")):
-                add("exclusiveMaximum", ~_np_bool(pc.less(num, pa.scalar(float(s["exclusiveMaximum"])))),
-                    "Value must be less than exclusiveMaximum")
+            vals = _numeric_numpy(arr, notnull)
+            if vals is not None:
+                for kw, violated, msg in _NUMERIC_BOUNDS:
+                    if is_number(s.get(kw)):
+                        add(kw, violated(vals, _bound_value(s[kw], vals)), msg)
             if is_number(s.get("multipleOf")):
                 add("multipleOf", self._multiple_of_bad(arr, s["multipleOf"], actual_type),
                     "Value is not a multiple of multipleOf")
@@ -403,8 +427,9 @@ class ColumnCheckPlan:
 
         per_kw: list[tuple[str, np.ndarray, Callable]] = []
         ftype = _json_type_of_arrow(flat.type)
-        fnull = ~_np_bool(pc.is_valid(flat))
         n_flat = len(flat)
+        fnull = (np.zeros(n_flat, dtype=bool) if flat.null_count == 0
+                 else ~_np_bool(pc.is_valid(flat)))
 
         t = items_schema.get("type")
         if t is not None and isinstance(t, (str, list)):
@@ -421,15 +446,12 @@ class ColumnCheckPlan:
             per_kw.append(("items.type", bad,
                            lambda v, _e=expected: f"Expected type {_e} but got {json_type_name(v)}"))
         if ftype in ("integer", "number"):
-            for kw, op, msg in (
-                ("minimum", pc.greater_equal, "Value is less than minimum"),
-                ("maximum", pc.less_equal, "Value exceeds maximum"),
-                ("exclusiveMinimum", pc.greater, "Value must be greater than exclusiveMinimum"),
-                ("exclusiveMaximum", pc.less, "Value must be less than exclusiveMaximum"),
-            ):
-                if is_number(items_schema.get(kw)):
-                    ebad = (~_np_bool(op(flat, pa.scalar(float(items_schema[kw])))) & ~fnull)
-                    per_kw.append((f"items.{kw}", ebad, lambda v, _m=msg: _m))
+            vals = _numeric_numpy(flat, ~fnull)
+            if vals is not None:
+                for kw, violated, msg in _NUMERIC_BOUNDS:
+                    if is_number(items_schema.get(kw)):
+                        ebad = violated(vals, _bound_value(items_schema[kw], vals)) & ~fnull
+                        per_kw.append((f"items.{kw}", ebad, lambda v, _m=msg: _m))
         if ftype == "string" and isinstance(items_schema.get("pattern"), str):
             bad = self._regex_bad(flat, items_schema["pattern"])
             if bad is not None:
@@ -482,15 +504,23 @@ class ColumnCheckPlan:
             if not ok:
                 match &= False
         if ftype in ("integer", "number"):
-            if is_number(contains.get("minimum")):
-                match &= _np_bool(pc.greater_equal(flat, pa.scalar(float(contains["minimum"]))))
-            if is_number(contains.get("maximum")):
-                match &= _np_bool(pc.less_equal(flat, pa.scalar(float(contains["maximum"]))))
+            vals = _numeric_numpy(flat, None)
+            if vals is not None:
+                if is_number(contains.get("minimum")):
+                    match &= vals >= _bound_value(contains["minimum"], vals)
+                if is_number(contains.get("maximum")):
+                    match &= vals <= _bound_value(contains["maximum"], vals)
         if isinstance(contains.get("const"), (int, float, str)) and not isinstance(contains.get("const"), bool):
             try:
                 match &= _np_bool(pc.equal(flat, pa.scalar(contains["const"], type=flat.type)))
             except (pa.ArrowInvalid, pa.ArrowTypeError):
                 match &= False
+        if flat.null_count:
+            # a null element matches iff the contains schema accepts JSON null
+            # (the C path validates each element recursively, :1250)
+            from ..functions.evaluator import Evaluator
+            null_matches = Evaluator(jsonschema_compile(contains)).validate_document(None, None)
+            match[~_np_bool(pc.is_valid(flat))] = null_matches
         n_rows = len(offsets) - 1
         if len(flat) == 0:
             counts = np.zeros(n_rows, dtype=np.int64)
