@@ -117,30 +117,88 @@ def run_bench() -> dict:
     return result
 
 
+SCALING_ROWS = 5_400_000
+SCALING_CPUS = (4, 16)   # N and 4N — see BASELINE.md: this host's effective
+                         # parallel capacity is ~16 cores (measured with a
+                         # pure CPU-burn test and a validation-free read
+                         # passthrough, both of which REGRESS at 32 workers),
+                         # so 8->32 measures host oversubscription, not the
+                         # engine.  4->16 is the honest N->4N pair here.
+
+
+def run_scaling_worker(ncpu: int) -> dict:
+    """One fresh-process run of the flagship composite (validate +
+    column stats/NDV + exact duplicate keys) over the same input."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.validate import validate_dataset
+    from json_schema_validate_ray.sources.tokens import write_tokens_parquet
+    from json_schema_validate_ray.stages.checks import column_stats, duplicate_keys
+
+    tok = write_tokens_parquet(f"/tmp/jsv_scale_{SCALING_ROWS}", SCALING_ROWS,
+                               n_partitions=64)
+    rd.read_parquet(tok).count()   # warm page cache
+
+    stages = {}
+    t0 = time.perf_counter()
+    v = validate_dataset(rd.read_parquet(tok), batch_size=8192, compute="tasks")
+    v.map_batches(lambda b: pa.table({"n": pa.array([b.num_rows])}),
+                  batch_format="pyarrow").take_all()
+    stages["validate"] = round(time.perf_counter() - t0, 2)
+    t1 = time.perf_counter()
+    column_stats(rd.read_parquet(tok), ["doc_id", "tokens", "n_tok", "source"],
+                 ndv_columns=["doc_id", "source"])
+    stages["column_stats"] = round(time.perf_counter() - t1, 2)
+    t2 = time.perf_counter()
+    duplicate_keys(rd.read_parquet(tok, columns=["doc_id"]), "doc_id").count()
+    stages["duplicate_keys"] = round(time.perf_counter() - t2, 2)
+    total = round(time.perf_counter() - t0, 2)
+    ray.shutdown()
+    return {"num_cpus": ncpu, "rows": SCALING_ROWS, "stages": stages,
+            "total_sec": total,
+            "rows_per_sec": round(SCALING_ROWS / total, 1)}
+
+
 def run_scaling() -> dict:
-    """Same tokens pipeline at two parallelism levels in fresh processes."""
+    """The flagship composite at N and 4N CPUs in fresh processes on the
+    same input (the sandbox has no real multi-node cluster; parallelism
+    level stands in for cluster size per the driver instruction)."""
     out = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True, check=True)
-        line = json.loads(proc.stdout.strip().splitlines()[-1])
-        out[ncpu] = line
-    t8 = out[8]["value"]
-    t32 = out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    for ncpu in SCALING_CPUS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)],
+            capture_output=True, text=True, check=True)
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = SCALING_CPUS
+    t_lo, t_hi = out[lo]["total_sec"], out[hi]["total_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency, num_cpus 8 -> 32, same input",
-        "sec_8": t8, "sec_32": t32,
-        "rows_per_sec_8": out[8]["tokens_rows_per_sec"],
-        "rows_per_sec_32": out[32]["tokens_rows_per_sec"],
+        "metric": f"scaling efficiency, num_cpus {lo} -> {hi} (N -> 4N), same input",
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": out[lo]["rows_per_sec"],
+        f"rows_per_sec_{hi}": out[hi]["rows_per_sec"],
+        "stages": {str(n): out[n]["stages"] for n in SCALING_CPUS},
         "scaling_efficiency": round(eff, 3),
-        "tokens_rows": out[32]["tokens_rows"],
+        "tokens_rows": SCALING_ROWS,
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        print(json.dumps(run_scaling_worker(n)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -99,21 +99,55 @@ def _explode_bands(batch: pa.Table, bands: int, id_column: str) -> pa.Table:
     })
 
 
+def _crowded_band_keys(exploded, max_keys: int = 200_000):
+    """band keys held by >1 doc: vectorized groupby-count then filter —
+    NEVER a per-bucket Python call over the (mostly singleton) buckets.
+    Returns the (small) crowded key set, broadcastable."""
+    counts = exploded.groupby("band_key").count()
+    crowded = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).select(["band_key"]),
+        batch_format="pyarrow")
+    keys = [r["band_key"] for r in crowded.take(max_keys)]
+    return keys
+
+
 def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_id",
                            num_perm: int = 64, bands: int = 16,
                            n_shingle: int = 3):
     """Candidate near-dup groups: (band_id, band_key, n_docs, doc_ids) for
-    every LSH bucket holding >1 document.  The shuffle moves only
-    (band_key, id) pairs; signatures are computed in a stateful actor pool."""
-    import ray.data as rd  # noqa: F401
+    every LSH bucket holding >1 document.
+
+    Two cheap passes instead of one expensive one: (1) vectorized
+    groupby-count over (band_key, id) rows finds the crowded buckets —
+    almost all buckets are singletons, so per-bucket Python (map_groups)
+    would dominate; (2) a broadcast semi-join keeps only crowded-bucket rows
+    (a tiny fraction), and only THOSE go through per-group assembly."""
+    import ray
 
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_column": text_column, "num_perm": num_perm,
                                "bands": bands, "n_shingle": n_shingle},
         batch_format="pyarrow", concurrency=_default_concurrency())
-    pairs = sigs.map_batches(
+    exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, id_column), batch_format="pyarrow")
+
+    keys = _crowded_band_keys(exploded)
+    if not keys:
+        import pandas as pd
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame(
+            {"band_id": pd.Series([], dtype="int32"),
+             "band_key": pd.Series([], dtype="int64"),
+             "n_docs": pd.Series([], dtype="int64"),
+             "doc_ids": pd.Series([], dtype=object)}))
+    keys_ref = ray.put(pa.array(keys, type=pa.int64()))
+
+    def keep_crowded(b: pa.Table) -> pa.Table:
+        vset = ray.get(keys_ref)
+        return b.filter(pc.is_in(b["band_key"], value_set=vset))
+
+    survivors = exploded.map_batches(keep_crowded, batch_format="pyarrow")
 
     def bucket_group(g):
         import pandas as pd
@@ -127,7 +161,7 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
             "doc_ids": [sorted(map(str, g[id_column].tolist()))],
         })
 
-    return pairs.groupby(["band_id", "band_key"]).map_groups(
+    return survivors.groupby(["band_id", "band_key"]).map_groups(
         bucket_group, batch_format="pandas")
 
 
@@ -176,6 +210,20 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
 
     exploded = sigs.map_batches(explode_with_text, batch_format="pyarrow")
 
+    # prune singleton buckets BEFORE shuffling text payloads (see
+    # minhash_lsh_candidates: vectorized count + broadcast semi-join)
+    import ray
+    keys = _crowded_band_keys(
+        exploded.map_batches(lambda b: b.select(["band_key"]), batch_format="pyarrow"))
+    if not keys:
+        import pandas as pd
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
+    keys_ref = ray.put(pa.array(keys, type=pa.int64()))
+    exploded = exploded.map_batches(
+        lambda b: b.filter(pc.is_in(b["band_key"], value_set=ray.get(keys_ref))),
+        batch_format="pyarrow")
+
     def verify(g):
         import pandas as pd
         if len(g) < 2:
@@ -209,11 +257,31 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
     """SimHash near-dup buckets: identical-simhash groups with >1 doc.
     (Banded Hamming-distance search uses the same groupby with 16-bit band
     keys — simhash >> k masks — as the scale path.)"""
+    import ray
+
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_column": text_column},
         batch_format="pyarrow", concurrency=_default_concurrency())
     proj = sigs.map_batches(lambda b: b.select([id_column, "simhash"]),
                             batch_format="pyarrow")
+
+    # vectorized count + semi-join prune (same pattern as the LSH path)
+    counts = proj.groupby("simhash").count()
+    crowded = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).select(["simhash"]),
+        batch_format="pyarrow")
+    keys = [r["simhash"] for r in crowded.take(200_000)]
+    if not keys:
+        import pandas as pd
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame(
+            {"simhash": pd.Series([], dtype="int64"),
+             "n_docs": pd.Series([], dtype="int64"),
+             "doc_ids": pd.Series([], dtype=object)}))
+    keys_ref = ray.put(pa.array(keys, type=pa.int64()))
+    proj = proj.map_batches(
+        lambda b: b.filter(pc.is_in(b["simhash"], value_set=ray.get(keys_ref))),
+        batch_format="pyarrow")
 
     def group(g):
         import pandas as pd

@@ -603,6 +603,140 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q_join_orders_customers(sf_dir: str):
+    """Hash join with Ray's native Dataset.join (hash-partitioned on the
+    key), then grouped totals per nation — the large-side x large-side path."""
+    from ray.data.aggregate import Count, Sum
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_price"))
+    tbl = pa.Table.from_pylist(out.take_all())
+    return _round_col(tbl, "total_price", 2)
+
+
+SQL_JOIN_ORDERS_CUSTOMERS = """
+SELECT c_nationkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_broadcast_join_region(sf_dir: str):
+    """Broadcast chain join: customer -> nation -> region via two ray.put
+    dimension maps, counted per region name (no shuffle at all)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+    rd = _rd()
+    nation = pq.read_table(_t(sf_dir, "nation"))
+    region = pq.read_table(_t(sf_dir, "region"))
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k) for k in batch["c_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, type=pa.string())})
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+    return cust.map_batches(tag, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+SQL_BROADCAST_JOIN_REGION = """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_asof_join_clicks_errors(sf_dir: str):
+    """As-of join (Ray Data has no native one): for each click event, the
+    most recent error by the same user at or before the click.  Implemented
+    as the documented composition — tag both sides, co-partition by user via
+    groupby, pandas merge_asof within each sorted group.  Partitioning
+    assumption: one user's events fit in one group."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    two = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"],
+                                    value_set=pa.array(["click", "error"]))),
+        batch_format="pyarrow")
+
+    def asof(g):
+        import pandas as pd
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        errors = g[g["event_type"] == "error"].sort_values("ts")
+        if len(clicks) == 0 or len(errors) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_error_ts": pd.Series([], dtype="datetime64[us]")})
+        m = pd.merge_asof(clicks[["event_id", "ts"]],
+                          errors[["ts"]].assign(last_error_ts=errors["ts"]),
+                          on="ts", direction="backward")
+        m = m.dropna(subset=["last_error_ts"])
+        return m[["event_id", "last_error_ts"]]
+
+    return two.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+SQL_ASOF_JOIN_CLICKS_ERRORS = """
+SELECT c.event_id, e.ts AS last_error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def q_quantiles_events_value(sf_dir: str):
+    """Exact discrete quantiles of events.value.  Small-column exact path:
+    stream the single pruned column to the driver and select order
+    statistics (at 10^12 scale the engine's Histogram/KLL sketch path in
+    state/sketches.py replaces this; this query pins the exact semantics)."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    chunks = [b["value"].to_numpy(zero_copy_only=False)
+              for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    vals = np.sort(np.concatenate(chunks))
+    n = len(vals)
+
+    def qdisc(q: float) -> float:
+        # DuckDB quantile_disc: the element at ceil(q*n)-1 (0-indexed)
+        idx = max(0, int(np.ceil(q * n)) - 1)
+        return float(vals[idx])
+
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "q25": pa.array([qdisc(0.25)], type=pa.float64()),
+        "q50": pa.array([qdisc(0.50)], type=pa.float64()),
+        "q75": pa.array([qdisc(0.75)], type=pa.float64()),
+        "q95": pa.array([qdisc(0.95)], type=pa.float64()),
+    })
+
+
+SQL_QUANTILES_EVENTS_VALUE = """
+SELECT count(*) AS n,
+       quantile_disc(value, 0.25) AS q25,
+       quantile_disc(value, 0.50) AS q50,
+       quantile_disc(value, 0.75) AS q75,
+       quantile_disc(value, 0.95) AS q95
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # events: grouped + windowed (stream-shaped) operators
 # ---------------------------------------------------------------------------
 
@@ -746,6 +880,11 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK_COSINE),
     "ann_srp_topk": (q_ann_srp_topk, None),
     "embedding_norm_stats": (q_embedding_norm_stats, SQL_EMBEDDING_NORM_STATS),
+    # joins
+    "join_orders_customers": (q_join_orders_customers, SQL_JOIN_ORDERS_CUSTOMERS),
+    "broadcast_join_region": (q_broadcast_join_region, SQL_BROADCAST_JOIN_REGION),
+    "asof_join_clicks_errors": (q_asof_join_clicks_errors, SQL_ASOF_JOIN_CLICKS_ERRORS),
+    "quantiles_events_value": (q_quantiles_events_value, SQL_QUANTILES_EVENTS_VALUE),
     # events grouped/windowed
     "events_per_user": (q_events_per_user, SQL_EVENTS_PER_USER),
     "sessions_per_user": (q_sessions_per_user, SQL_SESSIONS_PER_USER),
