@@ -308,6 +308,46 @@ FROM events
 """
 
 
+def q_props_violation_counts(sf_dir: str):
+    """Violation-row emission over JSON documents, rolled up per constraint:
+    missing-required vs out-of-range counts on events.props."""
+    from ..stages.validator import JsonViolationExtractor
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    viol = ds.map_batches(
+        JsonViolationExtractor,
+        fn_constructor_kwargs={"schema": PROPS_EVENT_SCHEMA,
+                               "json_column": "props", "id_column": "event_id"},
+        batch_format="pyarrow", concurrency=_conc())
+    partials = viol.map_batches(
+        lambda b: pa.table({
+            "miss": pa.array([int(pc.sum(pc.cast(pc.equal(b["path"], ""), pa.int64())).as_py() or 0)],
+                             type=pa.int64()),
+            "rng": pa.array([int(pc.sum(pc.cast(pc.equal(b["path"], "k"), pa.int64())).as_py() or 0)],
+                            type=pa.int64())}),
+        batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_missing_k": pa.array([sum(r["miss"] for r in partials)], type=pa.int64()),
+        "n_out_of_range": pa.array([sum(r["rng"] for r in partials)], type=pa.int64()),
+    })
+
+
+SQL_PROPS_VIOLATION_COUNTS = """
+SELECT count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing_k,
+       count(*) FILTER (WHERE try_cast(json_extract(props, '$.k') AS BIGINT)
+                              NOT BETWEEN 0 AND 89) AS n_out_of_range
+FROM events
+"""
+
+
+def q_tokens_top_violations(sf_dir: str):
+    """Top violation kinds over the flagship tokens table (rows-only)."""
+    from ..stages.checks import top_violation_kinds
+    from .validate import violations_dataset
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
+    return top_violation_kinds(violations_dataset(ds), k=20)
+
+
 # ---------------------------------------------------------------------------
 # string-constraint operators (byte lengths, regex) over documents
 # ---------------------------------------------------------------------------
@@ -861,6 +901,7 @@ REGISTRY: dict[str, tuple] = {
     # per-document JSON validation
     "validate_props_events": (q_validate_props_events, SQL_VALIDATE_PROPS_EVENTS),
     "props_valid_rate": (q_props_valid_rate, SQL_PROPS_VALID_RATE),
+    "props_violation_counts": (q_props_violation_counts, SQL_PROPS_VIOLATION_COUNTS),
     # string constraints
     "strlen_stats_documents": (q_strlen_stats_documents, SQL_STRLEN_STATS_DOCUMENTS),
     "pattern_match_lang": (q_pattern_match_lang, SQL_PATTERN_MATCH_LANG),
@@ -894,6 +935,7 @@ REGISTRY: dict[str, tuple] = {
     "tokens_validation_summary": (q_tokens_validation_summary, None),
     "tokens_verdicts": (q_tokens_verdicts, None),
     "tokens_column_stats": (q_tokens_column_stats, None),
+    "tokens_top_violations": (q_tokens_top_violations, None),
 }
 
 

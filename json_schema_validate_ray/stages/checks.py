@@ -257,6 +257,42 @@ def column_histogram(ds, column: str, lo: float, hi: float, bins: int = 256,
     return merged
 
 
+def top_violation_kinds(violations_ds, k: int = 20):
+    """Top-k constraint kinds by violation count: groupby-count (combiner
+    pattern) then a tiny sort+limit — the 'worst offenders' report."""
+    counts = violations_ds.groupby("constraint_id").count()
+    renamed = counts.map_batches(
+        lambda t: t.rename_columns(["constraint_id", "n_violations"]),
+        batch_format="pyarrow")
+    return renamed.sort("n_violations", descending=True).limit(k)
+
+
+def sample_violations(violations_ds, fraction: float = 0.01, seed: int = 42):
+    """Deterministic violation sampling for eyeballing: Bernoulli sample in
+    the stream (no shuffle, no materialization)."""
+    return violations_ds.random_sample(fraction, seed=seed)
+
+
+def worst_partitions(manifest_dir: str, k: int = 10) -> pa.Table:
+    """Top-k worst partitions by violation rate from the run manifests
+    (tiny driver-side read of per-partition lineage)."""
+    import glob
+    import json
+    import os
+    rows = []
+    for path in glob.glob(os.path.join(manifest_dir, "*.json")):
+        with open(path) as f:
+            m = json.load(f)
+        rate = m["violation_rows"] / m["rows"] if m["rows"] else 0.0
+        rows.append({"partition": m["partition"], "rows": m["rows"],
+                     "violation_rows": m["violation_rows"],
+                     "violation_rate": round(rate, 6),
+                     "partition_pass": m["partition_pass"]})
+    rows.sort(key=lambda r: (-r["violation_rate"], r["partition"]))
+    return pa.Table.from_pylist(rows[:k]) if rows else pa.table(
+        {"partition": pa.array([], type=pa.string())})
+
+
 def drift_report(ds, baseline_counts: dict[str, int], baseline_hist: Histogram,
                  cat_column: str = "source", num_column: str = "n_tok") -> dict:
     """Distribution drift vs a baseline snapshot: chi-square on the

@@ -606,10 +606,40 @@ class TablePlan:
         self.required = [c for c in schema.get("required", [])
                          if isinstance(c, str)] if isinstance(schema, dict) else []
         self.columns = [ColumnCheckPlan(c, sub, None) for c, sub in props.items()]
+        # row-level compositional keywords: subplans compiled once, evaluated
+        # as vectorized boolean mask algebra (the plan-level AND/OR/XOR-count
+        # mapping of check_all_of/any_of/one_of/not/if_then_else,
+        # json_schema_validate.c:1492-1682)
+        self._sub = {}
+        if isinstance(schema, dict):
+            for kw in ("allOf", "anyOf", "oneOf"):
+                subs = schema.get(kw)
+                if isinstance(subs, list):
+                    self._sub[kw] = [TablePlan(s, id_column) for s in subs
+                                     if isinstance(s, (dict, bool))]
+            if isinstance(schema.get("not"), (dict, bool)):
+                self._sub["not"] = TablePlan(schema["not"], id_column)
+            if "if" in schema and ("then" in schema or "else" in schema):
+                self._sub["if"] = TablePlan(schema["if"], id_column)
+                if isinstance(schema.get("then"), (dict, bool)):
+                    self._sub["then"] = TablePlan(schema["then"], id_column)
+                if isinstance(schema.get("else"), (dict, bool)):
+                    self._sub["else"] = TablePlan(schema["else"], id_column)
+
+    def _valid_mask(self, batch: pa.Table) -> np.ndarray:
+        valid, _ = self.evaluate_batch(batch)
+        return valid
 
     def evaluate_batch(self, batch: pa.Table) -> tuple[np.ndarray, list[ColumnViolation]]:
         n = batch.num_rows
         violations: list[ColumnViolation] = []
+        if isinstance(self.schema, bool):
+            if self.schema:
+                return np.ones(n, dtype=bool), []
+            bad = np.ones(n, dtype=bool)
+            return np.zeros(n, dtype=bool), [ColumnViolation(
+                "row/false_schema", bad,
+                lambda i: ("", "Schema is false", ""))]
         # required: missing column entirely, or null value
         for col in self.required:
             if col not in batch.column_names:
@@ -627,6 +657,80 @@ class TablePlan:
             v = cross.evaluate(batch)
             if v is not None:
                 violations.append(v)
+
+        # object-size keywords on the row object: property count = non-null
+        # fields (check_object_size_constraints, json_schema_validate.c:1687-1740)
+        s = self.schema
+        if is_number(s.get("minProperties")) or is_number(s.get("maxProperties")):
+            present = np.zeros(n, dtype=np.int64)
+            for col in batch.column_names:
+                present += _np_bool(pc.is_valid(batch[col])).astype(np.int64)
+            v = s.get("minProperties")
+            if is_number(v):
+                bound = numeric_to_int(v)
+                bad = present < bound
+                if bad.any():
+                    violations.append(ColumnViolation(
+                        "row/minProperties", bad,
+                        lambda i, b=bound: ("", f"Object has {present[i]} properties, minimum is {b}",
+                                            str(present[i]))))
+            v = s.get("maxProperties")
+            if is_number(v):
+                bound = numeric_to_int(v)
+                bad = present > bound
+                if bad.any():
+                    violations.append(ColumnViolation(
+                        "row/maxProperties", bad,
+                        lambda i, b=bound: ("", f"Object has {present[i]} properties, maximum is {b}",
+                                            str(present[i]))))
+
+        # compositional keywords: sub-verdicts are mask algebra; sub-errors
+        # suppressed exactly as the reference suppresses them
+        # (json_schema_validate.c:1551, 1594, 1626, 1660)
+        if "allOf" in self._sub:
+            for idx, sub in enumerate(self._sub["allOf"]):
+                sub_valid, sub_viol = sub.evaluate_batch(batch)
+                violations.extend(sub_viol)  # allOf reports all errors (:1514-1518)
+        if "anyOf" in self._sub:
+            any_mask = np.zeros(n, dtype=bool)
+            for sub in self._sub["anyOf"]:
+                any_mask |= sub._valid_mask(batch)
+            bad = ~any_mask
+            if bad.any():
+                violations.append(ColumnViolation(
+                    "row/anyOf", bad,
+                    lambda i: ("", "Value does not match any schema in anyOf", "")))
+        if "oneOf" in self._sub:
+            match_count = np.zeros(n, dtype=np.int64)
+            for sub in self._sub["oneOf"]:
+                match_count += sub._valid_mask(batch).astype(np.int64)
+            bad = match_count != 1
+            if bad.any():
+                violations.append(ColumnViolation(
+                    "row/oneOf", bad,
+                    lambda i: ("", "Value does not match any schema in oneOf"
+                               if match_count[i] == 0 else
+                               f"Value matches {match_count[i]} schemas in oneOf, but must match exactly one",
+                               str(match_count[i]))))
+        if "not" in self._sub:
+            bad = self._sub["not"]._valid_mask(batch)
+            if bad.any():
+                violations.append(ColumnViolation(
+                    "row/not", bad,
+                    lambda i: ("", "Value must not match the schema in 'not'", "")))
+        if "if" in self._sub:
+            # then/else sub-errors pass through, masked to the rows their
+            # branch applies to (json_schema_validate.c:1662-1678)
+            if_mask = self._sub["if"]._valid_mask(batch)
+            for branch, mask in (("then", if_mask), ("else", ~if_mask)):
+                if branch in self._sub:
+                    _valid, sub_viol = self._sub[branch].evaluate_batch(batch)
+                    for v in sub_viol:
+                        masked = v.bad & mask
+                        if masked.any():
+                            violations.append(
+                                ColumnViolation(v.constraint_id, masked, v.detail))
+
         valid = np.ones(n, dtype=bool)
         for v in violations:
             valid &= ~v.bad

@@ -152,3 +152,41 @@ def test_validator_stage_callables():
     assert e.column_names == ["doc_id", "constraint_id", "path", "message", "observed"]
     a = ValidityAnnotator(TOKENS_SCHEMA, cross_checks=(ListLengthEquals(),))(batch)
     assert a.column_names[-3:] == ["valid", "n_violations", "violations"]
+
+
+@pytest.mark.parametrize("schema,batch,expect", [
+    # allOf: AND of subplans, all errors reported
+    ({"allOf": [{"required": ["a"]}, {"properties": {"b": {"minimum": 5}}}]},
+     pa.table({"a": [1, None, 2], "b": [9, 9, 1]}),
+     [True, False, False]),
+    # anyOf: OR of sub-verdicts
+    ({"anyOf": [{"properties": {"a": {"minimum": 10}}},
+                {"properties": {"b": {"const": "x"}}}]},
+     pa.table({"a": [11, 1, 1], "b": ["q", "x", "q"]}),
+     [True, True, False]),
+    # oneOf: exactly one branch
+    ({"oneOf": [{"properties": {"a": {"minimum": 5}}},
+                {"properties": {"a": {"maximum": 10}}}]},
+     pa.table({"a": [7, 2, 100]}),   # 7 matches both -> fail
+     [False, True, True]),
+    # not
+    ({"not": {"properties": {"a": {"const": 3}}}},
+     pa.table({"a": [3, 4]}),
+     [False, True]),
+    # if/then/else with masked branch errors
+    ({"if": {"properties": {"t": {"const": "s"}}},
+      "then": {"properties": {"v": {"minimum": 10}}},
+      "else": {"properties": {"v": {"maximum": 0}}}},
+     pa.table({"t": ["s", "s", "x", "x"], "v": [20, 1, -1, 5]}),
+     [True, False, True, False]),
+    # minProperties over non-null fields
+    ({"minProperties": 2},
+     pa.table({"a": [1, None], "b": [2, None]}),
+     [True, False]),
+])
+def test_row_level_composition(schema, batch, expect):
+    plan = TablePlan(schema)
+    valid, _ = plan.evaluate_batch(batch)
+    assert valid.tolist() == expect
+    oracle = _row_oracle(schema, batch)
+    assert valid.tolist() == oracle.tolist()
