@@ -795,6 +795,32 @@ FROM events GROUP BY user_id
 """
 
 
+def q_tumbling_daily_events(sf_dir: str):
+    """Tumbling-window aggregate: events bucketed into 1-day windows
+    (vectorized timestamp truncation inside map_batches, then the grouped
+    aggregate — no per-row window state needed for tumbling windows)."""
+    from ray.data.aggregate import Count, Sum
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    bucketed = ds.map_batches(
+        lambda b: pa.table({
+            "day": pc.floor_temporal(b["ts"], unit="day"),
+            "value": b["value"]}),
+        batch_format="pyarrow")
+    out = bucketed.groupby("day").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"))
+    tbl = pa.Table.from_pylist(out.take_all())
+    return _round_col(tbl, "sum_value", 2)
+
+
+SQL_TUMBLING_DAILY_EVENTS = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY day
+"""
+
+
 def q_sessions_per_user(sf_dir: str):
     """Session windowing (30-min gap): partition by key, sort by ts within
     the group, count gap-starts — the groupby().map_groups window pattern."""
@@ -929,6 +955,7 @@ REGISTRY: dict[str, tuple] = {
     # events grouped/windowed
     "events_per_user": (q_events_per_user, SQL_EVENTS_PER_USER),
     "sessions_per_user": (q_sessions_per_user, SQL_SESSIONS_PER_USER),
+    "tumbling_daily_events": (q_tumbling_daily_events, SQL_TUMBLING_DAILY_EVENTS),
     # multimodal plumbing
     "multimodal_payload_stats": (q_multimodal_payload_stats, SQL_MULTIMODAL_PAYLOAD_STATS),
     # flagship tokens pipelines (synthesized input -> rows-only driver check)

@@ -27,6 +27,7 @@ from ..state.sketches import (
     ColumnStats,
     Histogram,
     HyperLogLog,
+    TDigest,
     chi_square,
     ks_statistic,
 )
@@ -255,6 +256,56 @@ def column_histogram(ds, column: str, lo: float, hi: float, bins: int = 256,
     for row in partials:
         merged.merge(Histogram.from_bytes(row["hist"]))
     return merged
+
+
+def column_tdigest(ds, column: str, of_list_lengths: bool = False,
+                   delta: float = 200.0, batch_size: int = 65536) -> TDigest:
+    """Mergeable t-digest of a numeric column (or of list lengths): one
+    partial digest per block, merged treewise — the token-length-histogram
+    sketch of the north star, accurate at the tails under merging."""
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[column]
+        if of_list_lengths:
+            arr = pc.list_value_length(arr)
+        d = TDigest(delta=delta)
+        d.update(arr.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
+                 .astype(np.float64))
+        return pa.table({"td": pa.array([d.to_bytes()], type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size).take_all()
+    merged = TDigest(delta=delta)
+    for row in partials:
+        merged.merge(TDigest.from_bytes(row["td"]))
+    return merged
+
+
+def salted_group_count(ds, key: str, salt_buckets: int = 32,
+                       batch_size: int = 65536):
+    """Explicit salted two-phase aggregation (the classic hot-key shuffle
+    pattern): phase 1 groups on (key, salt) so a pathological key's rows
+    spread over ``salt_buckets`` reducers; phase 2 merges the per-salt
+    partials.  ``duplicate_keys`` (combiner + hash bucket) is normally
+    preferred — this path exists for inputs whose per-batch combiner cannot
+    collapse (e.g. pre-grouped or high-multiplicity batches) and as the
+    documented salting primitive of the north rule.
+    Returns a Dataset of (key, count)."""
+    def phase1(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        salt = np.arange(n, dtype=np.int64) % salt_buckets
+        return pa.table({key: batch[key],
+                         "salt": pa.array(salt)})
+
+    salted = ds.map_batches(phase1, batch_format="pyarrow", batch_size=batch_size)
+    per_salt = salted.groupby([key, "salt"]).count()
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], "partial_count": t["count()"]})
+
+    partials = per_salt.map_batches(strip, batch_format="pyarrow")
+    totals = partials.groupby(key).sum("partial_count")
+    return totals.map_batches(
+        lambda t: t.rename_columns([key, "count"]), batch_format="pyarrow")
 
 
 def top_violation_kinds(violations_ds, k: int = 20):

@@ -650,6 +650,34 @@ class TablePlan:
                 violations.append(ColumnViolation(
                     f"{col}/required", bad,
                     lambda i, c=col: ("", f"Missing required property: {c}", "null")))
+
+        # additionalProperties on the row object: a column outside
+        # ``properties`` is an additional property wherever its value is
+        # non-null (patternProperties keys exempt NAMES only,
+        # json_schema_validate.c:1358-1487)
+        s0 = self.schema
+        addl = s0.get("additionalProperties") if isinstance(s0, dict) else None
+        if addl is False:
+            declared = set(s0.get("properties", {}) or {})
+            pattern_props = s0.get("patternProperties")
+            exempt_res = []
+            if isinstance(pattern_props, dict):
+                for pat in pattern_props:
+                    try:
+                        exempt_res.append(re.compile(translate_posix_pattern(pat)))
+                    except re.error:
+                        pass
+            for col in batch.column_names:
+                if col in declared:
+                    continue
+                if any(r.search(col) for r in exempt_res):
+                    continue
+                bad = _np_bool(pc.is_valid(batch[col]))
+                if bad.any():
+                    violations.append(ColumnViolation(
+                        f"{col}/additionalProperties", bad,
+                        lambda i, c=col: ("", f"Additional property '{c}' is not allowed",
+                                          "present")))
         for plan in self.columns:
             if plan.col in batch.column_names:
                 violations.extend(plan.evaluate(batch[plan.col]))
@@ -738,15 +766,34 @@ class TablePlan:
 
 
 def violations_to_table(batch: pa.Table, id_column: str,
-                        violations: list[ColumnViolation]) -> pa.Table:
+                        violations: list[ColumnViolation],
+                        max_rows: Optional[int] = None) -> pa.Table:
     """Materialize violation rows (only for failing rows — cheap when the
-    violation rate is low)."""
+    violation rate is low).
+
+    ``max_rows`` caps pathological explosion (a schema that fails every
+    constraint on every row, SURVEY.md §7.3 #5): when the cap is hit, one
+    summary row per truncated constraint records the DROPPED count — never a
+    silent truncation."""
     id_arr = batch[id_column] if id_column in batch.column_names else None
     doc_ids, cids, paths, msgs, obs = [], [], [], [], []
     for v in violations:
         bad_idx = np.nonzero(v.bad)[0]
         if len(bad_idx) == 0:
             continue
+        if max_rows is not None and len(doc_ids) >= max_rows:
+            doc_ids.append("")
+            cids.append(v.constraint_id)
+            paths.append("")
+            msgs.append("violation cap reached; rows dropped")
+            obs.append(json.dumps({"dropped": int(len(bad_idx))}))
+            continue
+        if max_rows is not None and len(doc_ids) + len(bad_idx) > max_rows:
+            keep = max_rows - len(doc_ids)
+            dropped = len(bad_idx) - keep
+            bad_idx = bad_idx[:keep]
+        else:
+            dropped = 0
         # gather only the failing rows' ids (no full-column materialization)
         ids = (id_arr.take(pa.array(bad_idx)).to_pylist()
                if id_arr is not None else [None] * len(bad_idx))
@@ -757,6 +804,12 @@ def violations_to_table(batch: pa.Table, id_column: str,
             paths.append(p)
             msgs.append(m)
             obs.append(o)
+        if dropped:
+            doc_ids.append("")
+            cids.append(v.constraint_id)
+            paths.append("")
+            msgs.append("violation cap reached; rows dropped")
+            obs.append(json.dumps({"dropped": int(dropped)}))
     return pa.table({
         "doc_id": pa.array(doc_ids, type=pa.string()),
         "constraint_id": pa.array(cids, type=pa.string()),
@@ -787,15 +840,19 @@ class TableValidator:
 
 class ViolationExtractor:
     """``map_batches`` stage: emits ONLY the violation rows for each batch
-    (output rows ≪ input rows at a sane violation rate)."""
+    (output rows ≪ input rows at a sane violation rate).  ``max_rows_per_batch``
+    caps explosion with an explicit dropped-count row (no silent truncation)."""
 
-    def __init__(self, schema, id_column: str = "doc_id", cross_checks: tuple = ()):
+    def __init__(self, schema, id_column: str = "doc_id", cross_checks: tuple = (),
+                 max_rows_per_batch: int = 100_000):
         self.plan = TablePlan(schema, id_column, cross_checks)
         self.id_column = id_column
+        self.max_rows_per_batch = max_rows_per_batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         _, violations = self.plan.evaluate_batch(batch)
-        return violations_to_table(batch, self.id_column, violations)
+        return violations_to_table(batch, self.id_column, violations,
+                                   max_rows=self.max_rows_per_batch)
 
 
 class ValidityAnnotator:

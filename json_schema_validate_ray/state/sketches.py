@@ -195,6 +195,90 @@ class Histogram:
         return cls(lo=lo, hi=hi, bins=bins, counts=counts, n_below=nb, n_above=na)
 
 
+@dataclass
+class TDigest:
+    """Mergeable t-digest (Dunning & Ertl, 2019) with the scale function
+    k1(q) = δ/2π · asin(2q-1): centroid sizes bounded tighter near the tails,
+    so extreme quantiles stay accurate under merging.  Used for the
+    token-length (n_tok) distribution at scale, where exact order statistics
+    would need a full sort."""
+
+    delta: float = 100.0
+    means: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    weights: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    _buf: list = field(default_factory=list)
+
+    def update(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        self._buf.append(np.asarray(values, dtype=np.float64))
+        if sum(len(b) for b in self._buf) > 8192:
+            self._compress()
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+    def _compress(self) -> None:
+        if self._buf:
+            vals = np.concatenate(self._buf)
+            self._buf = []
+            means = np.concatenate([self.means, vals])
+            weights = np.concatenate([self.weights, np.ones(len(vals))])
+        else:
+            means, weights = self.means, self.weights
+        if len(means) == 0:
+            return
+        order = np.argsort(means)
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # greedy merge: extend the current centroid while k(q_right)-k(q_left) <= 1
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        w_before = 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q_left = w_before / total
+            q_right = (w_before + cur_w + w) / total
+            if self._k(np.array([q_right]))[0] - self._k(np.array([q_left]))[0] <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m); out_w.append(cur_w)
+                w_before += cur_w
+                cur_m, cur_w = m, w
+        out_m.append(cur_m); out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._compress(); other._compress()
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    @property
+    def total_weight(self) -> float:
+        self._compress()
+        return float(self.weights.sum())
+
+    def to_bytes(self) -> bytes:
+        self._compress()
+        return pickle.dumps((self.delta, self.means, self.weights), protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        delta, means, weights = pickle.loads(b)
+        return cls(delta=delta, means=means, weights=weights)
+
+
 def ks_statistic(a: Histogram, b: Histogram) -> float:
     """Two-sample KS distance from binned CDFs (same binning required)."""
     assert (a.lo, a.hi, a.bins) == (b.lo, b.hi, b.bins)

@@ -190,3 +190,39 @@ def test_row_level_composition(schema, batch, expect):
     assert valid.tolist() == expect
     oracle = _row_oracle(schema, batch)
     assert valid.tolist() == oracle.tolist()
+
+
+def test_additional_properties_row_level():
+    schema = {"properties": {"a": {"type": "integer"}},
+              "additionalProperties": False}
+    batch = pa.table({"a": [1, 2], "extra": ["x", None]})
+    plan = TablePlan(schema)
+    valid, viol = plan.evaluate_batch(batch)
+    assert valid.tolist() == [False, True]   # null extra = missing -> allowed
+    oracle = _row_oracle(schema, batch)
+    assert valid.tolist() == oracle.tolist()
+    vt = violations_to_table(batch, "a", viol)
+    assert vt["message"][0].as_py() == "Additional property 'extra' is not allowed"
+    # patternProperties exempts names only (json_schema_validate.c:1419-1449)
+    schema2 = {"properties": {}, "patternProperties": {"^ext": {"type": "number"}},
+               "additionalProperties": False}
+    batch2 = pa.table({"a": [1, None], "extra": ["x", "y"]})
+    plan2 = TablePlan(schema2)
+    valid2, _ = plan2.evaluate_batch(batch2)
+    # row0: 'a' present and not exempt -> invalid; 'extra' exempt even though
+    # its value violates the patternProperties schema (values never validated)
+    assert valid2.tolist() == [False, True]
+    assert valid2.tolist() == _row_oracle(schema2, batch2).tolist()
+
+
+def test_violation_cap_reports_dropped():
+    batch = pa.table({
+        "doc_id": [f"d{i}" for i in range(100)],
+        "n": pa.array([-1] * 100, type=pa.int64()),
+    })
+    plan = TablePlan({"properties": {"n": {"minimum": 0}}}, id_column="doc_id")
+    _, viol = plan.evaluate_batch(batch)
+    vt = violations_to_table(batch, "doc_id", viol, max_rows=10)
+    assert vt.num_rows == 11
+    last = vt.to_pylist()[-1]
+    assert "dropped" in last["observed"] and "90" in last["observed"]
