@@ -164,8 +164,13 @@ class CompiledSchema:
         self.regex_cache = RegexCache()
         _walk_patterns(self.schema, self.regex_cache)
 
+    def to_json(self) -> str:
+        """Serialize back to schema JSON text — the analog of
+        ``jsonschema_compiled_out`` (json_schema_validate.c:2086-2095)."""
+        return json.dumps(self.schema, default=str)
+
     def __repr__(self) -> str:
-        return f"CompiledSchema({json.dumps(self.schema, default=str)[:80]}...)"
+        return f"CompiledSchema({self.to_json()[:80]}...)"
 
 
 def jsonschema_compile(schema) -> CompiledSchema:

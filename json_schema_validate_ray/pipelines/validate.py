@@ -225,34 +225,105 @@ def run_partitioned_validation(input_path: str, out_dir: str,
     return run_summary
 
 
+class _SuitePartial:
+    """Single-pass per-batch partial for the flagship suite: validation
+    verdict counts + per-column stats + NDV sketches in ONE scan of the
+    input — one tiny serialized row per batch, merged on the driver.
+    (Exact uniqueness still needs its own shuffle; everything per-batch
+    reducible is fused here.)"""
+
+    def __init__(self, schema, columns, ndv_columns, cross_checks=()):
+        from ..stages.vectorized import TablePlan
+        self.plan = TablePlan(schema, cross_checks=tuple(cross_checks))
+        self.columns = columns
+        self.ndv_columns = set(ndv_columns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        from ..state.sketches import ColumnStats, HyperLogLog
+        valid, violations = self.plan.evaluate_batch(batch)
+        n_viol = sum(int(v.bad.sum()) for v in violations)
+        stats = {}
+        hlls = {}
+        for col in self.columns:
+            if col not in batch.column_names:
+                continue
+            arr = batch[col]
+            cs = ColumnStats()
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                cs.update_arrow(pc.list_value_length(arr))
+            else:
+                cs.update_arrow(arr)
+            stats[col] = cs.to_bytes()
+            if col in self.ndv_columns and not pa.types.is_nested(arr.type):
+                h = HyperLogLog()
+                h.update(arr)
+                hlls[col] = h.to_bytes()
+        return pa.table({
+            "rows": pa.array([batch.num_rows], type=pa.int64()),
+            "invalid": pa.array([int((~valid).sum())], type=pa.int64()),
+            "violations": pa.array([n_viol], type=pa.int64()),
+            "stats": pa.array([pickle.dumps(stats)], type=pa.binary()),
+            "hlls": pa.array([pickle.dumps(hlls)], type=pa.binary()),
+        })
+
+
 def full_report(input_path: str, schema=TOKENS_SCHEMA,
-                batch_size: int = 16384) -> dict:
-    """One-shot (non-checkpointed) report over an input directory: validation
-    counts + column stats + exact duplicate count.  Streaming end to end; the
-    only materialized results are aggregates."""
+                batch_size: int = 16384, cross_checks=None) -> dict:
+    """Flagship report over an input directory in TWO scans total:
+    scan 1 (fused) = validation verdicts + column stats + NDV sketches;
+    scan 2 = exact doc_id uniqueness (needs its hash-partitioned shuffle).
+    Streaming end to end; only tiny partials reach the driver."""
+    import pickle
+
     import ray.data as rd
 
-    ds = rd.read_parquet(input_path)
-    verdicts = validate_dataset(ds, schema, batch_size=batch_size)
-    agg = verdicts.map_batches(
-        lambda b: pa.table({
-            "rows": pa.array([b.num_rows], type=pa.int64()),
-            "invalid": pa.array([int(pc.sum(pc.invert(b["valid"])).as_py() or 0)], type=pa.int64()),
-            "violations": pa.array([int(pc.sum(b["n_violations"]).as_py() or 0)], type=pa.int64()),
-        }), batch_format="pyarrow").take_all()
-    rows = sum(r["rows"] for r in agg)
-    invalid = sum(r["invalid"] for r in agg)
-    violations = sum(r["violations"] for r in agg)
+    from ..state.sketches import ColumnStats, HyperLogLog
 
-    stats = column_stats(rd.read_parquet(input_path),
-                         ["doc_id", "tokens", "n_tok", "source"],
-                         ndv_columns=["doc_id", "source"])
-    dups = duplicate_keys(rd.read_parquet(input_path, columns=["doc_id"]), "doc_id")
-    dup_rows = dups.count()
+    cross = default_cross_checks() if cross_checks is None else tuple(cross_checks)
+    columns = ["doc_id", "tokens", "n_tok", "source"]
+    ndv_columns = ["doc_id", "source"]
+    partials = rd.read_parquet(input_path).map_batches(
+        _SuitePartial,
+        fn_constructor_kwargs={"schema": schema, "columns": columns,
+                               "ndv_columns": ndv_columns, "cross_checks": cross},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_default_concurrency()).take_all()
+
+    rows = sum(r["rows"] for r in partials)
+    invalid = sum(r["invalid"] for r in partials)
+    violations = sum(r["violations"] for r in partials)
+    merged: dict = {}
+    hlls: dict = {}
+    for r in partials:
+        for col, blob in pickle.loads(r["stats"]).items():
+            cs = ColumnStats.from_bytes(blob)
+            merged[col] = merged[col].merge(cs) if col in merged else cs
+        for col, blob in pickle.loads(r["hlls"]).items():
+            h = HyperLogLog.from_bytes(blob)
+            hlls[col] = hlls[col].merge(h) if col in hlls else h
+
+    stats_rows = []
+    for col in columns:
+        if col not in merged:
+            continue
+        cs = merged[col]
+        stats_rows.append({
+            "column": col, "row_count": cs.count, "null_count": cs.nulls,
+            "null_rate": cs.null_rate,
+            "min_value": None if cs.minimum is None else str(cs.minimum),
+            "max_value": None if cs.maximum is None else str(cs.maximum),
+            "mean_value": cs.mean, "std_value": cs.std,
+            "ndv_estimate": float(hlls[col].estimate()) if col in hlls else None,
+        })
+
+    dup_rows = duplicate_keys(
+        rd.read_parquet(input_path, columns=["doc_id"]), "doc_id").count()
     return {
         "rows": rows,
         "invalid_rows": invalid,
         "violation_count": violations,
         "duplicate_doc_ids": dup_rows,
-        "column_stats": stats.to_pylist(),
+        "column_stats": stats_rows,
     }

@@ -126,3 +126,41 @@ def test_frame_sampler_explodes():
     assert out.num_rows == 3
     assert out["frame_idx"].to_pylist() == [0, 1, 2]
     assert len(out["frame"][0].as_py()) == 8 * 8 * 3
+
+
+def test_json_doc_validator_error_parity():
+    """The actor stage's errors column must byte-match the per-document API
+    (the reference's jsonschema_validate raw-text rendering)."""
+    import json
+    import pyarrow as pa
+    from json_schema_validate_ray import jsonschema_validate_text
+    from json_schema_validate_ray.stages.validator import JsonDocValidator
+
+    schema = {"type": "object", "required": ["k"],
+              "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 10}}}
+    docs = ['{"k": 5}', '{}', '{"k": 99}', '{"k": "x"}', 'not json', None]
+    batch = pa.table({"id": list(range(len(docs))),
+                      "props": pa.array(docs, type=pa.string())})
+    out = JsonDocValidator(schema, "props", id_column="id", emit_errors=True)(batch)
+    for doc, valid, errs in zip(docs, out["valid"].to_pylist(),
+                                out["errors"].to_pylist()):
+        if doc is None:
+            assert valid is None and errs is None
+            continue
+        try:
+            json.loads(doc)
+        except ValueError:
+            assert valid is False
+            continue
+        assert errs == jsonschema_validate_text(doc, schema)
+        assert valid is (errs == "[]")
+
+
+def test_compiled_schema_roundtrip():
+    from json_schema_validate_ray import jsonschema_compile, jsonschema_is_valid
+    import pickle
+    c = jsonschema_compile('{"type": "object", "properties": {"a": {"pattern": "^x"}}}')
+    assert '"pattern"' in c.to_json()
+    c2 = pickle.loads(pickle.dumps(c))        # actor-broadcast path
+    assert jsonschema_is_valid('{"a": "xy"}', c2) is True
+    assert jsonschema_is_valid('{"a": "zz"}', c2) is False
