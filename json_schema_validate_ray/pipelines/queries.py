@@ -418,6 +418,25 @@ SELECT doc_id, lang FROM documents WHERE lang NOT IN ('en', 'de', 'fr')
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_distinct_langs(sf_dir: str):
+    """Distinct values of a low-cardinality column (Dataset.unique —
+    a shuffle; for high-cardinality NDV use the HLL sketch instead)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(vals, type=pa.string())})
+
+
+SQL_DISTINCT_LANGS = "SELECT DISTINCT lang FROM documents"
+
+
+def q_minhash_verified_pairs(sf_dir: str):
+    """Full near-dup pipeline: MinHash -> LSH buckets -> exact Jaccard
+    verification within buckets (rows-only: LSH recall is probabilistic)."""
+    from .dedup import minhash_dup_pairs
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dup_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
 def q_token_counts_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(
@@ -934,6 +953,8 @@ REGISTRY: dict[str, tuple] = {
     "enum_violations_lang": (q_enum_violations_lang, SQL_ENUM_VIOLATIONS_LANG),
     # text analysis
     "token_counts_documents": (q_token_counts_documents, SQL_TOKEN_COUNTS_DOCUMENTS),
+    "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
+    "minhash_verified_pairs": (q_minhash_verified_pairs, None),
     "stopword_stats": (q_stopword_stats, SQL_STOPWORD_STATS),
     "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
     "lang_id_agreement": (q_lang_id_accuracy, None),
