@@ -124,7 +124,9 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
     (a tiny fraction), and only THOSE go through per-group assembly."""
     import ray
 
-    sigs = ds.map_batches(
+    # single-file inputs arrive as ONE block: split first so the
+    # signature stage (the expensive part) actually parallelizes
+    sigs = ds.repartition(_default_concurrency() * 2).map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_column": text_column, "num_perm": num_perm,
                                "bands": bands, "n_shingle": n_shingle},
@@ -184,7 +186,7 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     and logged in the output as bucket_truncated rows)."""
     texts = ds.map_batches(
         lambda b: b.select([id_column, text_column]), batch_format="pyarrow")
-    sigs = texts.map_batches(
+    sigs = texts.repartition(_default_concurrency() * 2).map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_column": text_column, "num_perm": num_perm,
                                "bands": bands, "n_shingle": n_shingle},
@@ -259,7 +261,7 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
     keys — simhash >> k masks — as the scale path.)"""
     import ray
 
-    sigs = ds.map_batches(
+    sigs = ds.repartition(_default_concurrency() * 2).map_batches(
         SimHasher, fn_constructor_kwargs={"text_column": text_column},
         batch_format="pyarrow", concurrency=_default_concurrency())
     proj = sigs.map_batches(lambda b: b.select([id_column, "simhash"]),

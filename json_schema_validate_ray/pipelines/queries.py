@@ -439,7 +439,7 @@ def q_minhash_verified_pairs(sf_dir: str):
 
 def q_token_counts_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(
+    return ds.repartition(_conc() * 2).map_batches(
         TokenCounter, fn_constructor_kwargs={"text_column": "text"},
         batch_format="pyarrow", concurrency=_conc()).map_batches(
         lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
@@ -500,7 +500,7 @@ FROM t
 
 def q_fingerprint_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(
+    return ds.repartition(_conc() * 2).map_batches(
         Fingerprinter, fn_constructor_kwargs={"text_column": "text"},
         batch_format="pyarrow", concurrency=_conc()).map_batches(
         lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
@@ -515,7 +515,7 @@ def q_lang_id_accuracy(sf_dir: str):
     counting, itself SQL-inexpressible, so this is a rows-only check.)"""
     from ray.data.aggregate import Count
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    pred = ds.map_batches(
+    pred = ds.repartition(_conc() * 2).map_batches(
         LanguageId, fn_constructor_kwargs={"text_column": "text"},
         batch_format="pyarrow", concurrency=_conc())
     return pred.map_batches(

@@ -133,12 +133,14 @@ class Fingerprinter:
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
+        self._token_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
         md5s, rolls = [], []
         P = 1099511628211
         M = (1 << 64) - 1
+        cache = self._token_cache
         for t in texts:
             if t is None:
                 md5s.append(None); rolls.append(None)
@@ -146,26 +148,54 @@ class Fingerprinter:
             md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
             h = 14695981039346656037
             for w in tokenize(t):
-                wh = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                wh = cache.get(w)
+                if wh is None:
+                    wh = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                    cache[w] = wh
                 h = ((h ^ wh) * P) & M
             rolls.append(h & ((1 << 63) - 1))
         return (batch.append_column("fingerprint", pa.array(md5s, type=pa.string()))
                      .append_column("rolling_hash", pa.array(rolls, type=pa.int64())))
 
 
-def _token_hashes(text: str, n_shingle: int = 3) -> np.ndarray:
-    """Stable 64-bit hashes of word shingles."""
+_SHINGLE_MIX = (np.uint64(0x9E3779B97F4A7C15),
+                np.uint64(0xC2B2AE3D27D4EB4F),
+                np.uint64(0x165667B19E3779F9),
+                np.uint64(0x27D4EB2F165667C5),
+                np.uint64(0x85EBCA77C2B2AE63))
+
+
+def _token_hashes(text: str, n_shingle: int = 3,
+                  cache: dict | None = None) -> np.ndarray:
+    """Stable 64-bit hashes of word shingles.
+
+    Tokens are hashed individually (blake2b, cached per actor — natural
+    language reuses tokens heavily so the cache hit rate is high) and
+    shingle hashes are combined VECTORIZED from shifted token-hash slices:
+    h(s_i) = XOR_j rotl-mix(h(tok_{i+j}), j).  Order-sensitive and stable."""
     toks = tokenize(text.lower())
-    if len(toks) < n_shingle:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i:i + n_shingle])
-                    for i in range(len(toks) - n_shingle + 1)]
-    if not shingles:
+    if not toks:
         return np.zeros(0, dtype=np.uint64)
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-         for s in shingles], dtype=np.uint64)
+    if cache is None:
+        cache = {}
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                               "little")
+            cache[t] = h
+        th[i] = h
+    if len(toks) < n_shingle:
+        out = np.zeros(1, dtype=np.uint64)
+        for j in range(len(toks)):
+            out ^= (th[j] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)])
+        return out
+    n_out = len(toks) - n_shingle + 1
+    out = np.zeros(n_out, dtype=np.uint64)
+    for j in range(n_shingle):
+        out ^= th[j:j + n_out] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+    return out
 
 
 class MinHasher:
@@ -190,9 +220,10 @@ class MinHasher:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, self.MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, self.MERSENNE, size=num_perm, dtype=np.uint64)
+        self._token_cache: dict = {}
 
     def signature(self, text: str) -> np.ndarray:
-        h = _token_hashes(text, self.n_shingle)
+        h = _token_hashes(text, self.n_shingle, self._token_cache)
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (a * h + b) mod p for all perms x shingles: use object->uint64 via
@@ -224,9 +255,10 @@ class SimHasher:
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
         self.bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        self._token_cache: dict = {}
 
     def simhash(self, text: str) -> int:
-        h = _token_hashes(text, 1)
+        h = _token_hashes(text, 1, self._token_cache)
         if len(h) == 0:
             return 0
         bits = (h[:, None] & self.bit_masks[None, :]) != 0

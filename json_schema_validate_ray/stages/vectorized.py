@@ -522,14 +522,14 @@ class ColumnCheckPlan:
             null_matches = Evaluator(jsonschema_compile(contains)).validate_document(None, None)
             match[~_np_bool(pc.is_valid(flat))] = null_matches
         n_rows = len(offsets) - 1
-        if len(flat) == 0:
-            counts = np.zeros(n_rows, dtype=np.int64)
-        else:
-            # reduceat needs in-range start indices; rows past the last value
-            # (trailing empty lists) are zeroed by the empty-row mask below
-            starts = np.minimum(offsets[:-1], len(flat) - 1)
-            counts = np.add.reduceat(match.astype(np.int64), starts)
-            counts = np.where(np.diff(offsets) == 0, 0, counts)
+        counts = np.zeros(n_rows, dtype=np.int64)
+        nonempty = np.diff(offsets) > 0
+        if len(flat) and nonempty.any():
+            # reduceat over NON-EMPTY rows only: their starts are strictly
+            # increasing and in range, so segments are exact (clamping empty
+            # trailing rows would corrupt the preceding segment)
+            starts = offsets[:-1][nonempty]
+            counts[nonempty] = np.add.reduceat(match.astype(np.int64), starts)
         min_c = numeric_to_int(s["minContains"]) if is_number(s.get("minContains")) else 1
         max_c = numeric_to_int(s["maxContains"]) if is_number(s.get("maxContains")) else -1
         out = []
