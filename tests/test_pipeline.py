@@ -148,3 +148,31 @@ def test_full_report(ray_session, tokens_dir):
     assert r["invalid_rows"] > 0
     assert r["duplicate_doc_ids"] > 0
     assert len(r["column_stats"]) == 4
+
+
+def test_validation_suite(ray_session, tokens_dir):
+    import ray.data as rd
+    from json_schema_validate_ray.pipelines.suite import (
+        CHECK_TYPES, SchemaCheck, UniquenessCheck, ValidationSuite,
+        tokens_default_suite)
+
+    make_ds = lambda: rd.read_parquet(tokens_dir)
+    report = tokens_default_suite().run(make_ds)
+    assert report["n_checks"] == 5
+    assert report["passed"] is True          # planted rates are under bounds
+    by_name = {c["name"]: c for c in report["checks"]}
+    assert by_name["schema"]["metrics"]["invalid_rows"] > 0
+    assert by_name["doc_id-unique"]["metrics"]["duplicate_keys"] > 0
+    assert all(c["wall_sec"] >= 0 for c in report["checks"])
+
+    # a strict suite fails on the planted violations
+    strict = (ValidationSuite("strict")
+              .add(SchemaCheck("schema", __import__(
+                  "json_schema_validate_ray.pipelines.schemas",
+                  fromlist=["TOKENS_SCHEMA"]).TOKENS_SCHEMA,
+                  max_invalid_rate=0.0))
+              .add(UniquenessCheck("uniq", "doc_id", max_duplicate_keys=0)))
+    rep2 = strict.run(make_ds)
+    assert rep2["passed"] is False and rep2["n_failed"] == 2
+    assert set(CHECK_TYPES) >= {"schema", "uniqueness", "referential",
+                                "stats", "drift", "row_count"}
