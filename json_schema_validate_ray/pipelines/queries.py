@@ -31,6 +31,7 @@ from ..stages.text import (
     TokenCounter,
     tokenize,
 )
+from ..stages.taskcache import cached_stage
 from ..stages.validator import JsonDocValidator
 from .dedup import (
     embedding_cosine_pairs,
@@ -269,10 +270,9 @@ def q_validate_props_events(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
     return ds.map_batches(
-        JsonDocValidator,
-        fn_constructor_kwargs={"schema": PROPS_EVENT_SCHEMA,
-                               "json_column": "props", "id_column": "event_id"},
-        batch_format="pyarrow", concurrency=_conc())
+        cached_stage(JsonDocValidator, schema=PROPS_EVENT_SCHEMA,
+                     json_column="props", id_column="event_id"),
+        batch_format="pyarrow")
 
 
 SQL_VALIDATE_PROPS_EVENTS = """
@@ -315,10 +315,9 @@ def q_props_violation_counts(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
     viol = ds.map_batches(
-        JsonViolationExtractor,
-        fn_constructor_kwargs={"schema": PROPS_EVENT_SCHEMA,
-                               "json_column": "props", "id_column": "event_id"},
-        batch_format="pyarrow", concurrency=_conc())
+        cached_stage(JsonViolationExtractor, schema=PROPS_EVENT_SCHEMA,
+                     json_column="props", id_column="event_id"),
+        batch_format="pyarrow")
     partials = viol.map_batches(
         lambda b: pa.table({
             "miss": pa.array([int(pc.sum(pc.cast(pc.equal(b["path"], ""), pa.int64())).as_py() or 0)],
@@ -440,8 +439,8 @@ def q_minhash_verified_pairs(sf_dir: str):
 def q_token_counts_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.repartition(_conc() * 2).map_batches(
-        TokenCounter, fn_constructor_kwargs={"text_column": "text"},
-        batch_format="pyarrow", concurrency=_conc()).map_batches(
+        cached_stage(TokenCounter, text_column="text"),
+        batch_format="pyarrow").map_batches(
         lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
 
 
@@ -501,8 +500,8 @@ FROM t
 def q_fingerprint_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.repartition(_conc() * 2).map_batches(
-        Fingerprinter, fn_constructor_kwargs={"text_column": "text"},
-        batch_format="pyarrow", concurrency=_conc()).map_batches(
+        cached_stage(Fingerprinter, text_column="text"),
+        batch_format="pyarrow").map_batches(
         lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
 
 
@@ -516,8 +515,8 @@ def q_lang_id_accuracy(sf_dir: str):
     from ray.data.aggregate import Count
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     pred = ds.repartition(_conc() * 2).map_batches(
-        LanguageId, fn_constructor_kwargs={"text_column": "text"},
-        batch_format="pyarrow", concurrency=_conc())
+        cached_stage(LanguageId, text_column="text"),
+        batch_format="pyarrow")
     return pred.map_batches(
         lambda b: pa.table({
             "match": pc.equal(b["lang"], b["lang_pred"]),
