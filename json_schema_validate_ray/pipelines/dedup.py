@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.taskcache import cached_stage
 from ..stages.text import MinHasher, SimHasher, _token_hashes, tokenize
 
 
@@ -127,10 +128,9 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
     # single-file inputs arrive as ONE block: split first so the
     # signature stage (the expensive part) actually parallelizes
     sigs = ds.repartition(_default_concurrency() * 2).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"text_column": text_column, "num_perm": num_perm,
-                               "bands": bands, "n_shingle": n_shingle},
-        batch_format="pyarrow", concurrency=_default_concurrency())
+        cached_stage(MinHasher, text_column=text_column, num_perm=num_perm,
+                     bands=bands, n_shingle=n_shingle),
+        batch_format="pyarrow")
     exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, id_column), batch_format="pyarrow")
 
@@ -187,10 +187,9 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     texts = ds.map_batches(
         lambda b: b.select([id_column, text_column]), batch_format="pyarrow")
     sigs = texts.repartition(_default_concurrency() * 2).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"text_column": text_column, "num_perm": num_perm,
-                               "bands": bands, "n_shingle": n_shingle},
-        batch_format="pyarrow", concurrency=_default_concurrency())
+        cached_stage(MinHasher, text_column=text_column, num_perm=num_perm,
+                     bands=bands, n_shingle=n_shingle),
+        batch_format="pyarrow")
 
     n = bands
 
@@ -262,8 +261,8 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
     import ray
 
     sigs = ds.repartition(_default_concurrency() * 2).map_batches(
-        SimHasher, fn_constructor_kwargs={"text_column": text_column},
-        batch_format="pyarrow", concurrency=_default_concurrency())
+        cached_stage(SimHasher, text_column=text_column),
+        batch_format="pyarrow")
     proj = sigs.map_batches(lambda b: b.select([id_column, "simhash"]),
                             batch_format="pyarrow")
 
