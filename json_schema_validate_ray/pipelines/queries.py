@@ -734,20 +734,29 @@ def q_asof_join_clicks_errors(sf_dir: str):
                                     value_set=pa.array(["click", "error"]))),
         batch_format="pyarrow")
 
+    import numpy as np
+    from ..state.sketches import _hash64
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = (_hash64(b["user_id"]) % np.uint64(64)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket))
+
     def asof(g):
+        # vectorized multi-user as-of inside the bucket: merge_asof(by=user)
         import pandas as pd
         clicks = g[g["event_type"] == "click"].sort_values("ts")
         errors = g[g["event_type"] == "error"].sort_values("ts")
         if len(clicks) == 0 or len(errors) == 0:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "last_error_ts": pd.Series([], dtype="datetime64[us]")})
-        m = pd.merge_asof(clicks[["event_id", "ts"]],
-                          errors[["ts"]].assign(last_error_ts=errors["ts"]),
-                          on="ts", direction="backward")
+        m = pd.merge_asof(clicks[["event_id", "ts", "user_id"]],
+                          errors[["ts", "user_id"]].assign(last_error_ts=errors["ts"]),
+                          on="ts", by="user_id", direction="backward")
         m = m.dropna(subset=["last_error_ts"])
         return m[["event_id", "last_error_ts"]]
 
-    return two.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return (two.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket").map_groups(asof, batch_format="pandas"))
 
 
 SQL_ASOF_JOIN_CLICKS_ERRORS = """
@@ -840,18 +849,31 @@ FROM events GROUP BY day
 
 
 def q_sessions_per_user(sf_dir: str):
-    """Session windowing (30-min gap): partition by key, sort by ts within
-    the group, count gap-starts — the groupby().map_groups window pattern."""
-    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    """Session windowing (30-min gap): hash-bucket users (stable hash int
+    key, cheap shuffle), then compute EVERY user's session count inside the
+    bucket with one vectorized pandas pass — sort by (user, ts), mark
+    session starts where the user changes or the gap exceeds the window,
+    groupby-sum.  No per-user Python calls."""
+    import numpy as np
+    from ..state.sketches import _hash64
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = (_hash64(b["user_id"]) % np.uint64(64)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket))
 
     def sessions(g):
         import pandas as pd
-        ts = g["ts"].sort_values()
-        gaps = ts.diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(gaps.sum()) + 1]})
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        start = new_user | gap
+        out = start.groupby(g["user_id"]).sum().astype("int64")
+        return pd.DataFrame({"user_id": out.index, "n_sessions": out.values})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket").map_groups(sessions, batch_format="pandas"))
 
 
 SQL_SESSIONS_PER_USER = """
