@@ -339,6 +339,29 @@ FROM events
 """
 
 
+def q_tokens_length_quantiles(sf_dir: str):
+    """Approximate n_tok quantiles via the mergeable t-digest (rows-only:
+    sketch results are approximate by design)."""
+    from ..stages.checks import column_tdigest
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir), columns=["n_tok"])
+    td = column_tdigest(ds, "n_tok")
+    return pa.table({
+        "q25": pa.array([round(td.quantile(0.25), 1)], type=pa.float64()),
+        "q50": pa.array([round(td.quantile(0.50), 1)], type=pa.float64()),
+        "q75": pa.array([round(td.quantile(0.75), 1)], type=pa.float64()),
+        "q99": pa.array([round(td.quantile(0.99), 1)], type=pa.float64()),
+        "total": pa.array([int(td.total_weight)], type=pa.int64()),
+    })
+
+
+def q_tokens_salted_source_counts(sf_dir: str):
+    """Source counts via the explicit salted two-phase aggregation
+    (rows-only; demonstrates the hot-key-safe shuffle primitive)."""
+    from ..stages.checks import salted_group_count
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir), columns=["source"])
+    return salted_group_count(ds, "source", salt_buckets=16)
+
+
 def q_tokens_top_violations(sf_dir: str):
     """Top violation kinds over the flagship tokens table (rows-only)."""
     from ..stages.checks import top_violation_kinds
@@ -1005,6 +1028,8 @@ REGISTRY: dict[str, tuple] = {
     "tokens_verdicts": (q_tokens_verdicts, None),
     "tokens_column_stats": (q_tokens_column_stats, None),
     "tokens_top_violations": (q_tokens_top_violations, None),
+    "tokens_length_quantiles": (q_tokens_length_quantiles, None),
+    "tokens_salted_source_counts": (q_tokens_salted_source_counts, None),
 }
 
 

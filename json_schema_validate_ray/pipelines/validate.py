@@ -183,12 +183,14 @@ def run_partitioned_validation(input_path: str, out_dir: str,
                                     batch_size=batch_size)
         vdir = os.path.join(out_dir, "verdicts", tag)
         _atomic_write_dir(verdicts, vdir)
+        t_validate = time.perf_counter()
 
         # violations from the (small) verdict output — no second input scan
         vds = rd.read_parquet(vdir, columns=["doc_id", "violations"])
         viol = vds.map_batches(_explode_violations, batch_format="pyarrow")
         wdir = os.path.join(out_dir, "violations", tag)
         _atomic_write_dir(viol, wdir)
+        t_violations = time.perf_counter()
 
         stats_ds = rd.read_parquet(vdir, columns=["valid"])
         rows = stats_ds.count()
@@ -206,8 +208,17 @@ def run_partitioned_validation(input_path: str, out_dir: str,
             "wall_sec": wall,
             "rows_per_sec": rows / wall if wall > 0 else None,
             "stages": {
-                "validate_write": {"output": vdir},
-                "violations_write": {"output": wdir},
+                "validate_write": {
+                    "output": vdir,
+                    "wall_sec": round(t_validate - t0, 3),
+                    "rows_per_sec": round(rows / (t_validate - t0), 1)
+                    if t_validate > t0 else None,
+                },
+                "violations_write": {
+                    "output": wdir,
+                    "wall_sec": round(t_violations - t_validate, 3),
+                    "rows": viol_rows,
+                },
             },
         }
         tmp = mpath + ".tmp"
@@ -281,15 +292,15 @@ def full_report(input_path: str, schema=TOKENS_SCHEMA,
 
     from ..state.sketches import ColumnStats, HyperLogLog
 
+    from ..stages.taskcache import cached_stage
+
     cross = default_cross_checks() if cross_checks is None else tuple(cross_checks)
     columns = ["doc_id", "tokens", "n_tok", "source"]
     ndv_columns = ["doc_id", "source"]
     partials = rd.read_parquet(input_path).map_batches(
-        _SuitePartial,
-        fn_constructor_kwargs={"schema": schema, "columns": columns,
-                               "ndv_columns": ndv_columns, "cross_checks": cross},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=_default_concurrency()).take_all()
+        cached_stage(_SuitePartial, schema=schema, columns=columns,
+                     ndv_columns=ndv_columns, cross_checks=cross),
+        batch_format="pyarrow", batch_size=batch_size).take_all()
 
     rows = sum(r["rows"] for r in partials)
     invalid = sum(r["invalid"] for r in partials)

@@ -76,6 +76,32 @@ class JsonDocValidator:
         return pa.table(cols)
 
 
+class RowParityValidator:
+    """Exact reference-semantics validation of TABLE rows: each row becomes
+    the JSON object {column: value, ...} (nulls = missing) and runs through
+    the corpus-verified recursive evaluator — the row-at-a-time path the
+    reference executes for every SQL row (json_schema_validate.c:204-214).
+    CPU-bound by design; used when byte-exact error parity is required and
+    as the parity cross-check against the vectorized TablePlan."""
+
+    def __init__(self, schema, id_column: Optional[str] = None):
+        if not isinstance(schema, CompiledSchema):
+            schema = jsonschema_compile(schema)
+        self.evaluator = Evaluator(schema)
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        validate = self.evaluator.validate_document
+        valids = [validate({k: v for k, v in row.items() if v is not None}, None)
+                  for row in rows]
+        cols = {}
+        if self.id_column is not None and self.id_column in batch.column_names:
+            cols[self.id_column] = batch[self.id_column]
+        cols["valid"] = pa.array(valids, type=pa.bool_())
+        return pa.table(cols)
+
+
 class JsonViolationExtractor:
     """Per-document validation emitting one violation row per error:
     ``(doc_id, constraint_id, path, message, observed)`` — the engine's

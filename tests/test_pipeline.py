@@ -176,3 +176,24 @@ def test_validation_suite(ray_session, tokens_dir):
     assert rep2["passed"] is False and rep2["n_failed"] == 2
     assert set(CHECK_TYPES) >= {"schema", "uniqueness", "referential",
                                 "stats", "drift", "row_count"}
+
+
+def test_tdigest_and_salted_checks(ray_session, tokens_dir):
+    import duckdb
+    import ray.data as rd
+    from json_schema_validate_ray.stages.checks import (
+        column_tdigest, salted_group_count)
+
+    td = column_tdigest(rd.read_parquet(tokens_dir), "n_tok")
+    exact = duckdb.sql(
+        f"select quantile_cont(n_tok, 0.5) from read_parquet('{tokens_dir}/*.parquet')"
+    ).fetchone()[0]
+    assert abs(td.quantile(0.5) - exact) / exact < 0.05
+    assert td.total_weight == N_ROWS
+
+    counts = {r["source"]: r["count"] for r in salted_group_count(
+        rd.read_parquet(tokens_dir, columns=["source"]), "source").take_all()}
+    exact_counts = dict(duckdb.sql(
+        f"select source, count(*) from read_parquet('{tokens_dir}/*.parquet') group by 1"
+    ).fetchall())
+    assert counts == exact_counts

@@ -164,3 +164,16 @@ def test_compiled_schema_roundtrip():
     c2 = pickle.loads(pickle.dumps(c))        # actor-broadcast path
     assert jsonschema_is_valid('{"a": "xy"}', c2) is True
     assert jsonschema_is_valid('{"a": "zz"}', c2) is False
+
+
+def test_row_parity_validator_matches_table_plan():
+    from json_schema_validate_ray.pipelines.schemas import TOKENS_SCHEMA
+    from json_schema_validate_ray.sources.tokens import synth_tokens_partition
+    from json_schema_validate_ray.stages.validator import RowParityValidator
+    from json_schema_validate_ray.stages.vectorized import TablePlan
+
+    batch = synth_tokens_partition(5, 2000, seed=42)
+    out = RowParityValidator(TOKENS_SCHEMA, id_column="doc_id")(batch)
+    plan_valid, _ = TablePlan(TOKENS_SCHEMA).evaluate_batch(batch)
+    assert out["valid"].to_pylist() == plan_valid.tolist()
+    assert out.column_names == ["doc_id", "valid"]
