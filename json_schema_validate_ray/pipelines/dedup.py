@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.taskcache import cached_stage
-from ..stages.text import MinHasher, SimHasher, _token_hashes, tokenize
+from ..stages.text import MinHasher, SimHasher, _token_hashes
 
 
 def _default_concurrency() -> int:

@@ -39,7 +39,7 @@ from .dedup import (
     minhash_lsh_candidates,
     simhash_buckets,
 )
-from .schemas import TOKENS_SCHEMA
+
 from .similarity import brute_force_topk, srp_bucketed_topk
 from .validate import full_report, validate_dataset
 

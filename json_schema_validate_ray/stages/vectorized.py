@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 
 from ..functions.compiler import FORMAT_TABLE, CompiledSchema, jsonschema_compile, translate_posix_pattern
 from ..functions.evaluator import Evaluator
-from ..functions.jsonvalue import is_number, numeric_to_int, utf8_len
+from ..functions.jsonvalue import is_number, numeric_to_int
 
 VIOLATION_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
