@@ -1,0 +1,99 @@
+"""CLI entry points: run the engine without writing a driver script.
+
+    python -m json_schema_validate_ray validate INPUT_DIR OUT_DIR [--schema f.json]
+    python -m json_schema_validate_ray report   INPUT_DIR        [--schema f.json]
+    python -m json_schema_validate_ray suite    INPUT_DIR
+    python -m json_schema_validate_ray synth    OUT_DIR --rows N [--partitions P]
+
+Owns its Ray session (guarded init) per the repo convention: only CLI entry
+points, bench.py and the test fixture call ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _load_schema(path):
+    from .pipelines.schemas import TOKENS_SCHEMA
+    if path is None:
+        return TOKENS_SCHEMA
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="json_schema_validate_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="resumable partitioned validation run")
+    v.add_argument("input_dir"); v.add_argument("out_dir")
+    v.add_argument("--schema", default=None)
+    v.add_argument("--files-per-partition", type=int, default=4)
+
+    r = sub.add_parser("report", help="one-shot fused report (no checkpoint)")
+    r.add_argument("input_dir"); r.add_argument("--schema", default=None)
+
+    s = sub.add_parser("suite", help="run the default ValidationSuite")
+    s.add_argument("input_dir")
+
+    g = sub.add_parser("synth", help="synthesize a deterministic tokens table")
+    g.add_argument("out_dir"); g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--partitions", type=int, default=32)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .sources.tokens import write_tokens_parquet
+        path = write_tokens_parquet(args.out_dir, args.rows,
+                                    n_partitions=args.partitions, seed=args.seed)
+        print(json.dumps({"written": path, "rows": args.rows}))
+        return 0
+
+    _init_ray()
+    import ray
+
+    try:
+        if args.cmd == "validate":
+            from .pipelines.validate import run_partitioned_validation
+            out = run_partitioned_validation(
+                args.input_dir, args.out_dir,
+                schema=_load_schema(args.schema),
+                files_per_partition=args.files_per_partition)
+            print(json.dumps(out))
+        elif args.cmd == "report":
+            from .pipelines.validate import full_report
+            print(json.dumps(full_report(args.input_dir,
+                                         schema=_load_schema(args.schema))))
+        elif args.cmd == "suite":
+            import ray.data as rd
+
+            from .pipelines.suite import tokens_default_suite
+            rep = tokens_default_suite().run(
+                lambda: rd.read_parquet(args.input_dir))
+            print(json.dumps(rep))
+            return 0 if rep["passed"] else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -357,9 +357,8 @@ def embedding_cosine_pairs(ds, id_column: str = "vec_id",
     mat = mat / norms
     matrix_ref = ray.put(mat)
     ids_ref = ray.put(ids)
-    return ds.map_batches(
-        _CosinePairFinder,
-        fn_constructor_kwargs={"matrix_ref": matrix_ref, "ids_ref": ids_ref,
-                               "id_column": id_column, "vec_column": vec_column,
-                               "threshold": threshold},
-        batch_format="pyarrow", concurrency=_default_concurrency())
+    return ds.repartition(_default_concurrency() * 2).map_batches(
+        cached_stage(_CosinePairFinder, matrix_ref=matrix_ref, ids_ref=ids_ref,
+                     id_column=id_column, vec_column=vec_column,
+                     threshold=threshold),
+        batch_format="pyarrow")

@@ -71,13 +71,16 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     (query_id, id_column, cosine) — k rows per query after the final prune."""
     import ray
 
+    from ..stages.taskcache import cached_stage
+
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
     query_ref = ray.put(queries)
-    partial = ds.map_batches(
-        _TopKScanner,
-        fn_constructor_kwargs={"query_ref": query_ref, "id_column": id_column,
-                               "vec_column": vec_column, "k": k},
-        batch_format="pyarrow", concurrency=_default_concurrency())
+    # repartition: single-file corpora arrive as one block; cached tasks
+    # avoid actor-pool startup (the scan itself is milliseconds)
+    partial = ds.repartition(_default_concurrency() * 2).map_batches(
+        cached_stage(_TopKScanner, query_ref=query_ref, id_column=id_column,
+                     vec_column=vec_column, k=k),
+        batch_format="pyarrow")
 
     # final prune: per-query top-k over the (tiny) union of batch top-ks
     def prune(g):
@@ -132,14 +135,14 @@ def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
     dim = queries.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bits, dim)).astype(np.float32)
+    from ..stages.taskcache import cached_stage
+
     query_ref = ray.put(queries)
     planes_ref = ray.put(planes)
-    partial = ds.map_batches(
-        _SRPTopKScanner,
-        fn_constructor_kwargs={"query_ref": query_ref, "planes_ref": planes_ref,
-                               "id_column": id_column, "vec_column": vec_column,
-                               "k": k},
-        batch_format="pyarrow", concurrency=_default_concurrency())
+    partial = ds.repartition(_default_concurrency() * 2).map_batches(
+        cached_stage(_SRPTopKScanner, query_ref=query_ref, planes_ref=planes_ref,
+                     id_column=id_column, vec_column=vec_column, k=k),
+        batch_format="pyarrow")
 
     def prune(g):
         return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)

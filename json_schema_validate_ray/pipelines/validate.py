@@ -100,13 +100,13 @@ def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
 def violations_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
                        id_column: str = "doc_id", batch_size: int = 16384,
                        concurrency=None):
+    from ..stages.taskcache import cached_stage
+
     cross = default_cross_checks() if cross_checks is None else tuple(cross_checks)
     return ds.map_batches(
-        ViolationExtractor,
-        fn_constructor_kwargs={"schema": schema, "id_column": id_column,
-                               "cross_checks": cross},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or _default_concurrency())
+        cached_stage(ViolationExtractor, schema=schema, id_column=id_column,
+                     cross_checks=cross),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def _explode_violations(batch: pa.Table) -> pa.Table:
