@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 
 from ..functions.compiler import FORMAT_TABLE, CompiledSchema, jsonschema_compile, translate_posix_pattern
 from ..functions.evaluator import Evaluator
-from ..functions.jsonvalue import is_number, numeric_to_int
+from ..functions.jsonvalue import is_number, numeric_to_int, scalars_equal, utf8_len
 
 VIOLATION_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -61,6 +61,11 @@ VECTORIZABLE_KEYWORDS = {
 _ITEM_KEYWORDS = {"type", "minimum", "maximum", "exclusiveMinimum",
                   "exclusiveMaximum", "enum", "const", "minLength", "maxLength",
                   "pattern"}
+
+# ``contains`` kernels implement exactly these keywords (_contains_violations);
+# anything else drops the COLUMN to the per-row parity evaluator.
+_CONTAINS_KEYWORDS = {"type", "minimum", "maximum", "exclusiveMinimum",
+                      "exclusiveMaximum", "const"}
 
 
 def _observed(v, limit: int = 128) -> str:
@@ -120,6 +125,50 @@ def _bound_value(v, vals: np.ndarray):
     return v
 
 
+def _enum_value_set(dtype: pa.DataType, entries) -> tuple[Optional[pa.Array], bool]:
+    """Enum/const entries that can possibly equal a NON-NULL value of this
+    Arrow type under JSON type-strict equality (bool != number, containers
+    never equal, 2.0 == 2).  Returns ``(value_set, exact)``:
+    ``(arr, True)`` -> use pc.is_in/pc.equal; ``(None, True)`` -> no entry can
+    match (every present value fails); ``(None, False)`` -> dtype isn't
+    kernelized, caller must fall back to per-value scalars_equal."""
+    is_bool = pa.types.is_boolean(dtype)
+    is_int = pa.types.is_integer(dtype)
+    is_num = is_int or pa.types.is_floating(dtype) or pa.types.is_decimal(dtype)
+    is_str = pa.types.is_string(dtype) or pa.types.is_large_string(dtype)
+    if not (is_bool or is_num or is_str):
+        return None, False
+    out = []
+    for v in entries:
+        if isinstance(v, bool):
+            if is_bool:
+                out.append(v)
+        elif isinstance(v, (int, float)):
+            if is_num:
+                if is_int and isinstance(v, float):
+                    if v.is_integer():
+                        out.append(int(v))
+                else:
+                    out.append(v)
+        elif isinstance(v, str):
+            if is_str:
+                out.append(v)
+        # None / containers never equal a non-null scalar value
+    if not out:
+        return None, True
+    try:
+        return pa.array(out, type=dtype), True
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        return None, False
+
+
+def _enum_bad_fallback(arr: pa.Array, entries) -> np.ndarray:
+    """Per-value parity equality (scalars_equal) for dtypes the is_in kernel
+    can't take — rare path, bounded by batch size.  Nulls = missing -> pass."""
+    return np.array([v is not None and not any(scalars_equal(v, e) for e in entries)
+                     for v in arr.to_pylist()], dtype=bool)
+
+
 # (keyword, violated-predicate, reference message) for numeric bounds,
 # json_schema_validate.c:1009-1058
 _NUMERIC_BOUNDS = (
@@ -167,7 +216,10 @@ class ColumnCheckPlan:
     def _contains_vectorizable(contains) -> bool:
         if contains is None:
             return True
-        return isinstance(contains, dict) and set(contains.keys()) <= _ITEM_KEYWORDS
+        if not (isinstance(contains, dict) and set(contains.keys()) <= _CONTAINS_KEYWORDS):
+            return False
+        # list-form ``type`` inside contains is not kernelized -> fallback
+        return not ("type" in contains and not isinstance(contains["type"], str))
 
     # ------------------------------------------------------------------
     def evaluate(self, arr: pa.Array) -> list[ColumnViolation]:
@@ -241,27 +293,35 @@ class ColumnCheckPlan:
                 got = "number" if actual_type == "integer" else actual_type
                 add("type", bad, f"Expected type {expected} but got {got}")
 
-        # ---- enum / const (scalar columns) ----
-        if "enum" in s and isinstance(s["enum"], list) and actual_type not in ("array", "object"):
-            scalars = [v for v in s["enum"] if not isinstance(v, (list, dict))]
-            try:
-                vset = pa.array(scalars, type=dtype)
-                bad = ~_np_bool(pc.is_in(arr, value_set=vset))
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-                pyvals = arr.to_pylist()
-                sset = set(map(str, scalars))
-                bad = np.array([str(v) not in sset for v in pyvals], dtype=bool)
-            add("enum", bad, "Value not in enum")
+        # ---- enum / const ----
+        if "enum" in s and isinstance(s["enum"], list):
+            if actual_type in ("array", "object"):
+                # a container value never matches ANY enum entry (:1330-1340)
+                add("enum", notnull.copy(), "Value not in enum")
+            else:
+                vset, exact = _enum_value_set(dtype, s["enum"])
+                if not exact:
+                    bad = _enum_bad_fallback(arr, s["enum"])
+                elif vset is None:
+                    bad = notnull.copy()
+                else:
+                    bad = ~_np_bool(pc.is_in(arr, value_set=vset))
+                add("enum", bad, "Value not in enum")
 
-        if "const" in s and not isinstance(s["const"], (list, dict)) and actual_type not in ("array", "object"):
-            try:
-                bad = ~_np_bool(pc.equal(arr, pa.scalar(s["const"], type=dtype)))
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-                bad = notnull.copy()
-            add("const", bad, "Value does not match const")
-        elif "const" in s and isinstance(s["const"], (list, dict)):
-            # containers never compare equal (json_schema_validate.c:1330-1340)
-            add("const", notnull.copy(), "Value does not match const")
+        if "const" in s:
+            cv = s["const"]
+            if isinstance(cv, (list, dict)) or actual_type in ("array", "object"):
+                # containers never compare equal on either side (:1330-1340)
+                add("const", notnull.copy(), "Value does not match const")
+            else:
+                vset, exact = _enum_value_set(dtype, [cv])
+                if not exact:
+                    bad = _enum_bad_fallback(arr, [cv])
+                elif vset is None:
+                    bad = notnull.copy()
+                else:
+                    bad = ~_np_bool(pc.equal(arr, vset[0]))
+                add("const", bad, "Value does not match const")
 
         # ---- numeric bounds (number columns only, like check_number_constraints) ----
         if actual_type in ("integer", "number"):
@@ -417,6 +477,17 @@ class ColumnCheckPlan:
         bad = np.zeros(n_rows, dtype=bool)
         bad_rows = np.unique(sr[1:][dup_pair])
         bad[bad_rows] = True
+        if flat.null_count:
+            # nulls became NaN above (NaN != NaN hides them); JSON null equals
+            # JSON null (jbvNull, json_schema_validate.c:1310) so >=2 null
+            # elements in a row is a duplicate — count nulls per segment
+            isnull = (~_np_bool(pc.is_valid(flat))).astype(np.int64)
+            seg = np.diff(offsets)
+            nonempty = seg > 0
+            nulls_per_row = np.zeros(n_rows, dtype=np.int64)
+            if nonempty.any():
+                nulls_per_row[nonempty] = np.add.reduceat(isnull, offsets[:-1][nonempty])
+            bad |= nulls_per_row > 1
         return bad
 
     def _items_violations(self, col, items_schema, flat, offsets, notnull) -> list[ColumnViolation]:
@@ -452,21 +523,53 @@ class ColumnCheckPlan:
                     if is_number(items_schema.get(kw)):
                         ebad = violated(vals, _bound_value(items_schema[kw], vals)) & ~fnull
                         per_kw.append((f"items.{kw}", ebad, lambda v, _m=msg: _m))
-        if ftype == "string" and isinstance(items_schema.get("pattern"), str):
-            bad = self._regex_bad(flat, items_schema["pattern"])
-            if bad is not None:
-                per_kw.append(("items.pattern", bad & ~fnull,
-                               lambda v, _p=items_schema["pattern"]:
-                               f"String does not match pattern: {_p}"))
+        if ftype == "string":
+            if isinstance(items_schema.get("pattern"), str):
+                bad = self._regex_bad(flat, items_schema["pattern"])
+                if bad is not None:
+                    per_kw.append(("items.pattern", bad & ~fnull,
+                                   lambda v, _p=items_schema["pattern"]:
+                                   f"String does not match pattern: {_p}"))
+            if is_number(items_schema.get("minLength")) or is_number(items_schema.get("maxLength")):
+                e_len = pc.binary_length(flat).fill_null(0).to_numpy(zero_copy_only=False)
+            if is_number(items_schema.get("minLength")):
+                b = numeric_to_int(items_schema["minLength"])
+                per_kw.append(("items.minLength", (e_len < b) & ~fnull,
+                               lambda v, _b=b: f"String length {utf8_len(v)} is less than minLength {_b}"))
+            if is_number(items_schema.get("maxLength")):
+                b = numeric_to_int(items_schema["maxLength"])
+                per_kw.append(("items.maxLength", (e_len > b) & ~fnull,
+                               lambda v, _b=b: f"String length {utf8_len(v)} exceeds maxLength {_b}"))
         if isinstance(items_schema.get("enum"), list):
-            scalars = [v for v in items_schema["enum"] if not isinstance(v, (list, dict))]
-            try:
-                vset = pa.array(scalars, type=flat.type)
-                per_kw.append(("items.enum",
-                               ~_np_bool(pc.is_in(flat, value_set=vset)) & ~fnull,
-                               lambda v: "Value not in enum"))
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                pass
+            entries = items_schema["enum"]
+            vset, exact = _enum_value_set(flat.type, entries)
+            if not exact:
+                ebad = np.array([not any(scalars_equal(v, e) for e in entries)
+                                 for v in flat.to_pylist()], dtype=bool)
+            elif vset is None:
+                ebad = np.ones(n_flat, dtype=bool)
+            else:
+                ebad = ~_np_bool(pc.is_in(flat, value_set=vset))
+            # a null ELEMENT is JSON null (not "missing"): in enum iff null is
+            ebad[fnull] = not any(e is None for e in entries)
+            per_kw.append(("items.enum", ebad, lambda v: "Value not in enum"))
+        if "const" in items_schema:
+            cv = items_schema["const"]
+            if isinstance(cv, (list, dict)):
+                # containers never compare equal (:1330-1340) -> every element
+                # (incl. JSON null) fails
+                ebad = np.ones(n_flat, dtype=bool)
+            else:
+                vset, exact = _enum_value_set(flat.type, [cv])
+                if not exact:
+                    ebad = np.array([not scalars_equal(v, cv)
+                                     for v in flat.to_pylist()], dtype=bool)
+                elif vset is None:
+                    ebad = np.ones(n_flat, dtype=bool)
+                else:
+                    ebad = ~_np_bool(pc.equal(flat, vset[0]))
+                ebad[fnull] = cv is not None   # JSON null == const null
+            per_kw.append(("items.const", ebad, lambda v: "Value does not match const"))
 
         out = []
         for kw, ebad, msg_fn in per_kw:
@@ -510,11 +613,41 @@ class ColumnCheckPlan:
                     match &= vals >= _bound_value(contains["minimum"], vals)
                 if is_number(contains.get("maximum")):
                     match &= vals <= _bound_value(contains["maximum"], vals)
-        if isinstance(contains.get("const"), (int, float, str)) and not isinstance(contains.get("const"), bool):
-            try:
-                match &= _np_bool(pc.equal(flat, pa.scalar(contains["const"], type=flat.type)))
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                if is_number(contains.get("exclusiveMinimum")):
+                    match &= vals > _bound_value(contains["exclusiveMinimum"], vals)
+                if is_number(contains.get("exclusiveMaximum")):
+                    match &= vals < _bound_value(contains["exclusiveMaximum"], vals)
+        if "const" in contains:
+            cv = contains["const"]
+            if isinstance(cv, (list, dict)):
+                match &= False     # containers never compare equal (:1330-1340)
+            elif isinstance(cv, bool):
+                # JSON true != 1: bool const only ever matches a boolean column
+                if pa.types.is_boolean(flat.type):
+                    match &= _np_bool(pc.equal(flat, pa.scalar(cv)))
+                else:
+                    match &= False
+            elif isinstance(cv, (int, float)) and not (
+                    pa.types.is_integer(flat.type) or pa.types.is_floating(flat.type)
+                    or pa.types.is_decimal(flat.type)):
+                match &= False     # number const never equals string/bool values
+            elif isinstance(cv, str) and not (
+                    pa.types.is_string(flat.type) or pa.types.is_large_string(flat.type)):
                 match &= False
+            else:
+                if (isinstance(cv, float) and cv.is_integer()
+                        and pa.types.is_integer(flat.type)):
+                    cv = int(cv)   # JSON 2.0 == 2 on an int column
+                elif (isinstance(cv, float) and not cv.is_integer()
+                        and pa.types.is_integer(flat.type)):
+                    cv = None      # non-integral const never equals an int value
+                if cv is None and contains["const"] is not None:
+                    match &= False
+                else:
+                    try:
+                        match &= _np_bool(pc.equal(flat, pa.scalar(cv, type=flat.type)))
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        match &= False
         if flat.null_count:
             # a null element matches iff the contains schema accepts JSON null
             # (the C path validates each element recursively, :1250)
