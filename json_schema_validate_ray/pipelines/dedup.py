@@ -100,16 +100,54 @@ def _explode_bands(batch: pa.Table, bands: int, id_column: str) -> pa.Table:
     })
 
 
-def _crowded_band_keys(exploded, max_keys: int = 200_000):
-    """band keys held by >1 doc: vectorized groupby-count then filter —
-    NEVER a per-bucket Python call over the (mostly singleton) buckets.
-    Returns the (small) crowded key set, broadcastable."""
-    counts = exploded.groupby("band_key").count()
-    crowded = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)).select(["band_key"]),
+# Above this many crowded keys, the semi-join switches from a driver-side
+# broadcast filter to a distributed hash join — no key is ever dropped.
+BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _crowded_keys_dataset(rows, key: str):
+    """Keys held by >1 row: vectorized groupby-count then filter — NEVER a
+    per-bucket Python call over the (mostly singleton) buckets.  Returns a
+    Dataset of the crowded keys (one column, ``key``)."""
+    counts = rows.groupby(key).count()
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).select([key]),
         batch_format="pyarrow")
-    keys = [r["band_key"] for r in crowded.take(max_keys)]
-    return keys
+
+
+def _semi_join_crowded(rows, key: str,
+                       broadcast_limit: int = BROADCAST_KEY_LIMIT,
+                       key_rows=None):
+    """Keep only rows whose ``key`` value occurs >1 time.  Two complete
+    (never-truncating) strategies, picked by the crowded-key count:
+
+    * count <= broadcast_limit: materialize the key set once (``ray.put``),
+      filter with a vectorized ``is_in`` per batch — zero shuffle of ``rows``.
+    * count  > broadcast_limit: distributed hash semi-join (native
+      ``Dataset.join`` on ``key``) — shuffles both sides but holds nothing
+      on the driver.
+
+    ``key_rows``: optionally count crowdedness on a lighter projection
+    (e.g. key-only rows) while filtering the full ``rows``.
+    Returns None when no key is crowded (caller emits its empty frame)."""
+    import ray
+
+    crowded = _crowded_keys_dataset(rows if key_rows is None else key_rows, key)
+    n_crowded = crowded.count()
+    if n_crowded == 0:
+        return None
+    if n_crowded <= broadcast_limit:
+        schema = rows.schema()
+        arrow_schema = getattr(schema, "base_schema", schema)
+        key_type = arrow_schema.field(key).type
+        vals = [r[key] for r in crowded.take(n_crowded)]
+        keys_ref = ray.put(pa.array(vals, type=key_type))
+        return rows.map_batches(
+            lambda b: b.filter(pc.is_in(b[key], value_set=ray.get(keys_ref))),
+            batch_format="pyarrow")
+    return rows.join(crowded, join_type="inner",
+                     num_partitions=max(16, _default_concurrency()),
+                     on=(key,))
 
 
 def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_id",
@@ -121,10 +159,10 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
     Two cheap passes instead of one expensive one: (1) vectorized
     groupby-count over (band_key, id) rows finds the crowded buckets —
     almost all buckets are singletons, so per-bucket Python (map_groups)
-    would dominate; (2) a broadcast semi-join keeps only crowded-bucket rows
-    (a tiny fraction), and only THOSE go through per-group assembly."""
-    import ray
-
+    would dominate; (2) a semi-join keeps only crowded-bucket rows (a tiny
+    fraction) — broadcast filter when the crowded set is driver-sized,
+    distributed hash join above BROADCAST_KEY_LIMIT (never truncated) —
+    and only THOSE go through per-group assembly."""
     # single-file inputs arrive as ONE block: split first so the
     # signature stage (the expensive part) actually parallelizes
     sigs = ds.repartition(_default_concurrency() * 2).map_batches(
@@ -134,8 +172,8 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
     exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, id_column), batch_format="pyarrow")
 
-    keys = _crowded_band_keys(exploded)
-    if not keys:
+    survivors = _semi_join_crowded(exploded, "band_key")
+    if survivors is None:
         import pandas as pd
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame(
@@ -143,13 +181,6 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
              "band_key": pd.Series([], dtype="int64"),
              "n_docs": pd.Series([], dtype="int64"),
              "doc_ids": pd.Series([], dtype=object)}))
-    keys_ref = ray.put(pa.array(keys, type=pa.int64()))
-
-    def keep_crowded(b: pa.Table) -> pa.Table:
-        vset = ray.get(keys_ref)
-        return b.filter(pc.is_in(b["band_key"], value_set=vset))
-
-    survivors = exploded.map_batches(keep_crowded, batch_format="pyarrow")
 
     def bucket_group(g):
         import pandas as pd
@@ -211,19 +242,18 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
 
     exploded = sigs.map_batches(explode_with_text, batch_format="pyarrow")
 
-    # prune singleton buckets BEFORE shuffling text payloads (see
-    # minhash_lsh_candidates: vectorized count + broadcast semi-join)
-    import ray
-    keys = _crowded_band_keys(
-        exploded.map_batches(lambda b: b.select(["band_key"]), batch_format="pyarrow"))
-    if not keys:
+    # prune singleton buckets BEFORE shuffling text payloads; crowdedness is
+    # counted on a key-only projection so the text column never enters the
+    # count shuffle (see _semi_join_crowded: broadcast or distributed join,
+    # never truncated)
+    exploded = _semi_join_crowded(
+        exploded, "band_key",
+        key_rows=exploded.map_batches(lambda b: b.select(["band_key"]),
+                                      batch_format="pyarrow"))
+    if exploded is None:
         import pandas as pd
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
-    keys_ref = ray.put(pa.array(keys, type=pa.int64()))
-    exploded = exploded.map_batches(
-        lambda b: b.filter(pc.is_in(b["band_key"], value_set=ray.get(keys_ref))),
-        batch_format="pyarrow")
 
     def verify(g):
         import pandas as pd
@@ -258,31 +288,22 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
     """SimHash near-dup buckets: identical-simhash groups with >1 doc.
     (Banded Hamming-distance search uses the same groupby with 16-bit band
     keys — simhash >> k masks — as the scale path.)"""
-    import ray
-
     sigs = ds.repartition(_default_concurrency() * 2).map_batches(
         cached_stage(SimHasher, text_column=text_column),
         batch_format="pyarrow")
     proj = sigs.map_batches(lambda b: b.select([id_column, "simhash"]),
                             batch_format="pyarrow")
 
-    # vectorized count + semi-join prune (same pattern as the LSH path)
-    counts = proj.groupby("simhash").count()
-    crowded = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)).select(["simhash"]),
-        batch_format="pyarrow")
-    keys = [r["simhash"] for r in crowded.take(200_000)]
-    if not keys:
+    # vectorized count + semi-join prune (same pattern as the LSH path;
+    # broadcast or distributed join by crowded-set size, never truncated)
+    proj = _semi_join_crowded(proj, "simhash")
+    if proj is None:
         import pandas as pd
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame(
             {"simhash": pd.Series([], dtype="int64"),
              "n_docs": pd.Series([], dtype="int64"),
              "doc_ids": pd.Series([], dtype=object)}))
-    keys_ref = ray.put(pa.array(keys, type=pa.int64()))
-    proj = proj.map_batches(
-        lambda b: b.filter(pc.is_in(b["simhash"], value_set=ray.get(keys_ref))),
-        batch_format="pyarrow")
 
     def group(g):
         import pandas as pd
@@ -301,64 +322,139 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-class _CosinePairFinder:
-    """Streams batches against the broadcast normalized matrix; emits pairs
-    (id_a < id_b) with cosine >= threshold.  The matrix is fetched from the
-    object store once per actor."""
-
-    def __init__(self, matrix_ref, ids_ref, id_column: str, vec_column: str,
-                 threshold: float):
-        import ray
-        self.matrix = ray.get(matrix_ref)      # (M, d) float32 normalized
-        self.ids = ray.get(ids_ref)            # list[str] length M
-        self.id_column = id_column
-        self.vec_column = vec_column
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        id_type = batch[self.id_column].type
-        ids = batch[self.id_column].to_pylist()  # native values: `<` matches SQL
-        vecs = np.array(batch[self.vec_column].to_pylist(), dtype=np.float32)
-        if vecs.ndim != 2 or len(vecs) == 0:
-            return pa.table({"id_a": pa.array([], type=id_type),
-                             "id_b": pa.array([], type=id_type),
-                             "cosine": pa.array([], type=pa.float64())})
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        vecs = vecs / norms
-        sims = vecs @ self.matrix.T                      # (n, M)
-        ia, ib, cs = [], [], []
-        cand_i, cand_j = np.nonzero(sims >= self.threshold)
-        for i, j in zip(cand_i, cand_j):
-            a, b = ids[int(i)], self.ids[int(j)]
-            if a < b:  # dedupe the symmetric pair + drop self-pairs
-                ia.append(a); ib.append(b)
-                cs.append(round(float(sims[i, j]), 5))
-        return pa.table({"id_a": pa.array(ia, type=id_type),
-                         "id_b": pa.array(ib, type=id_type),
-                         "cosine": pa.array(cs, type=pa.float64())})
+def _pairs_from_sims(ids_a, ids_b, sims: np.ndarray, threshold: float,
+                     same_block: bool):
+    """(id_a, id_b, cosine) rows with id_a < id_b from a similarity matrix.
+    ``same_block``: sims is square over one id list (skip self/symmetric)."""
+    ia, ib, cs = [], [], []
+    if same_block:
+        ci, cj = np.nonzero(np.triu(sims >= threshold, k=1))
+    else:
+        ci, cj = np.nonzero(sims >= threshold)
+    for i, j in zip(ci, cj):
+        a, b = ids_a[int(i)], ids_b[int(j)]
+        if a == b:
+            continue
+        if b < a:
+            a, b = b, a
+        ia.append(a)
+        ib.append(b)
+        cs.append(round(float(sims[i, j]), 5))
+    return ia, ib, cs
 
 
 def embedding_cosine_pairs(ds, id_column: str = "vec_id",
                            vec_column: str = "embedding",
-                           threshold: float = 0.9):
-    """Near-dup pairs by embedding cosine.  One side is normalized and
-    broadcast (``ray.put`` once); the other side streams.  At 100 TB the
-    broadcast side is the deduplicated candidate set per SRP bucket — the
-    same stage code applies per bucket."""
-    import ray
+                           threshold: float = 0.9,
+                           n_blocks: int = None,
+                           rows_per_block: int = 32_000):
+    """EXACT near-dup pairs by embedding cosine, via triangle block-pairing.
 
-    rows = ds.map_batches(lambda b: b.select([id_column, vec_column]),
-                          batch_format="pyarrow").take_all()
-    ids = [r[id_column] for r in rows]
-    mat = np.array([r[vec_column] for r in rows], dtype=np.float32)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    matrix_ref = ray.put(mat)
-    ids_ref = ray.put(ids)
-    return ds.repartition(_default_concurrency() * 2).map_batches(
-        cached_stage(_CosinePairFinder, matrix_ref=matrix_ref, ids_ref=ids_ref,
-                     id_column=id_column, vec_column=vec_column,
-                     threshold=threshold),
-        batch_format="pyarrow")
+    All-pairs is inherently O(N^2) flops; the scale problem is MEMORY and the
+    driver, not the flops.  Ids hash into B blocks; every unordered block
+    pair (i <= j) is one reduce group, and each row ships to exactly the B
+    groups it participates in.  Per-group memory is ~2N/B rows of (id, vec)
+    — bounded by ``rows_per_block`` — and the driver never materializes
+    anything.  B is derived from the dataset's metadata row count (no scan).
+
+    Every unordered doc pair lands in exactly one group: (block_a, block_b)
+    sorted.  Shuffle volume is N*B rows — the price of exactness; the
+    sub-quadratic scale path is ``embedding_srp_pairs`` (approximate) or
+    MinHash/SimHash.  Cites reference behavior: none (engine extension)."""
+    from ..state.sketches import _hash64
+
+    if n_blocks is None:
+        n = ds.count()   # parquet metadata count — no vector payload scan
+        n_blocks = max(1, -(-n // rows_per_block))
+    B = int(n_blocks)
+
+    def explode_to_block_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_column, vec_column])
+        blocks = (_hash64(t[id_column]) % np.uint64(B)).astype(np.int64)
+        parts, keys, blks = [], [], []
+        for k in range(B):
+            i = np.minimum(blocks, k)
+            j = np.maximum(blocks, k)
+            parts.append(t)
+            keys.append(i * B + j)
+            blks.append(blocks)
+        out = pa.concat_tables(parts)
+        return out.append_column(
+            "block", pa.array(np.concatenate(blks), type=pa.int64())
+        ).append_column(
+            "pair_key", pa.array(np.concatenate(keys), type=pa.int64()))
+
+    def pair_group(g):
+        import pandas as pd
+        key = int(g["pair_key"].iloc[0])
+        i, j = divmod(key, B)
+        vecs = np.array(g[vec_column].tolist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        ids = g[id_column].tolist()
+        if i == j:
+            sims = vecs @ vecs.T
+            ia, ib, cs = _pairs_from_sims(ids, ids, sims, threshold, True)
+        else:
+            ga = (g["block"] == i).to_numpy()
+            a, b = vecs[ga], vecs[~ga]
+            ids_a = [x for x, m in zip(ids, ga) if m]
+            ids_b = [x for x, m in zip(ids, ga) if not m]
+            if not len(a) or not len(b):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            sims = a @ b.T
+            ia, ib, cs = _pairs_from_sims(ids_a, ids_b, sims, threshold, False)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+    exploded = ds.map_batches(explode_to_block_pairs, batch_format="pyarrow")
+    return exploded.groupby("pair_key").map_groups(pair_group,
+                                                   batch_format="pandas")
+
+
+def embedding_srp_pairs(ds, id_column: str = "vec_id",
+                        vec_column: str = "embedding",
+                        threshold: float = 0.9, bits: int = 6, seed: int = 13,
+                        dim: int = None):
+    """APPROXIMATE near-dup pairs: sign-random-projection buckets both sides,
+    pairs computed only within a bucket (groupby srp_bucket -> dense matmul
+    per group).  Sub-quadratic: expected group size N/2^bits; recall for a
+    pair at angle theta is (1 - theta/pi)^bits — the documented trade, this
+    is the 100 TB path when exactness isn't required.  Partitioning
+    assumption: one SRP bucket fits one worker's memory (holds when buckets
+    are balanced; raise ``bits`` to shrink buckets)."""
+    from ..pipelines.similarity import srp_signature
+
+    if dim is None:
+        first = ds.take(1)
+        dim = len(first[0][vec_column]) if first else 0
+    if not dim:
+        import pandas as pd
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim)).astype(np.float32)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_column, vec_column])
+        vecs = np.array(t[vec_column].to_pylist(), dtype=np.float32)
+        if len(vecs) == 0:
+            return t.append_column("srp_bucket", pa.array([], type=pa.int64()))
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sig = srp_signature(vecs / norms, planes)
+        return t.append_column("srp_bucket", pa.array(sig, type=pa.int64()))
+
+    def pair_group(g):
+        import pandas as pd
+        vecs = np.array(g[vec_column].tolist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        ids = g[id_column].tolist()
+        sims = vecs @ vecs.T
+        ia, ib, cs = _pairs_from_sims(ids, ids, sims, threshold, True)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+             .groupby("srp_bucket").map_groups(pair_group, batch_format="pandas")

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.tokens import write_tokens_parquet
+from ..sources.tokens import MAX_TOKENS, SOURCES, VOCAB_SIZE, write_tokens_parquet
 from ..stages.checks import column_stats, duplicate_keys
 from ..stages.multimodal import MediaFeatureExtractor, synth_media_batch
 from ..stages.text import (
@@ -340,34 +340,53 @@ FROM events
 
 
 def q_tokens_length_quantiles(sf_dir: str):
-    """Approximate n_tok quantiles via the mergeable t-digest (rows-only:
-    sketch results are approximate by design)."""
-    from ..stages.checks import column_tdigest
+    """EXACT n_tok quantiles via the bounded-domain bincount path: n_tok's
+    domain is known ([1, MAX_TOKENS+margin]), so per-batch bincount partials
+    merge to exact order statistics with O(domain) driver memory at ANY row
+    count — no sort, no shuffle, no t-digest approximation.  (The t-digest
+    remains the sketch for unbounded domains, see q_quantiles_events_value.)"""
+    from ..sources.tokens import MAX_TOKENS
+    from ..stages.checks import exact_bounded_quantiles
     ds = _rd().read_parquet(_tokens_dir_for(sf_dir), columns=["n_tok"])
-    td = column_tdigest(ds, "n_tok")
+    # planted n_tok-mismatch rows exceed MAX_TOKENS by 3: widen the domain
+    vals, n = exact_bounded_quantiles(ds, "n_tok", [0.25, 0.50, 0.75, 0.99],
+                                      lo=0, hi=MAX_TOKENS + 8)
     return pa.table({
-        "q25": pa.array([round(td.quantile(0.25), 1)], type=pa.float64()),
-        "q50": pa.array([round(td.quantile(0.50), 1)], type=pa.float64()),
-        "q75": pa.array([round(td.quantile(0.75), 1)], type=pa.float64()),
-        "q99": pa.array([round(td.quantile(0.99), 1)], type=pa.float64()),
-        "total": pa.array([int(td.total_weight)], type=pa.int64()),
+        "q25": pa.array([vals[0]], type=pa.int64()),
+        "q50": pa.array([vals[1]], type=pa.int64()),
+        "q75": pa.array([vals[2]], type=pa.int64()),
+        "q99": pa.array([vals[3]], type=pa.int64()),
+        "total": pa.array([n], type=pa.int64()),
     })
 
 
 def q_tokens_salted_source_counts(sf_dir: str):
     """Source counts via the explicit salted two-phase aggregation
-    (rows-only; demonstrates the hot-key-safe shuffle primitive)."""
+    (demonstrates the hot-key-safe shuffle primitive)."""
     from ..stages.checks import salted_group_count
     ds = _rd().read_parquet(_tokens_dir_for(sf_dir), columns=["source"])
-    return salted_group_count(ds, "source", salt_buckets=16)
+    counts = salted_group_count(ds, "source", salt_buckets=16)
+    return counts.map_batches(
+        lambda t: t.set_column(t.column_names.index("count"), "count",
+                               pc.cast(t["count"], pa.int64())),
+        batch_format="pyarrow")
 
 
 def q_tokens_top_violations(sf_dir: str):
-    """Top violation kinds over the flagship tokens table (rows-only)."""
+    """Top violation kinds over the flagship tokens table; deterministic
+    ordering (count desc, constraint_id asc) so ties hash-match the SQL."""
     from ..stages.checks import top_violation_kinds
     from .validate import violations_dataset
     ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
-    return top_violation_kinds(violations_dataset(ds), k=20)
+    top = top_violation_kinds(violations_dataset(ds), k=20)
+    tbl = pa.Table.from_pylist(top.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({"constraint_id": pa.array([], type=pa.string()),
+                         "n_violations": pa.array([], type=pa.int64())})
+    tbl = tbl.set_column(tbl.column_names.index("n_violations"), "n_violations",
+                         pc.cast(tbl["n_violations"], pa.int64()))
+    return tbl.sort_by([("n_violations", "descending"),
+                        ("constraint_id", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -453,10 +472,46 @@ SQL_DISTINCT_LANGS = "SELECT DISTINCT lang FROM documents"
 
 def q_minhash_verified_pairs(sf_dir: str):
     """Full near-dup pipeline: MinHash -> LSH buckets -> exact Jaccard
-    verification within buckets (rows-only: LSH recall is probabilistic)."""
+    verification within buckets.  Oracled: the SQL computes exact Jaccard
+    over the identical word-3-shingle sets for ALL pairs; LSH recall at the
+    testdata's pair distribution (every true pair >= 0.9 Jaccard, miss
+    probability < 1e-7 per pair at bands=16 r=4) makes the two result sets
+    equal — verified empirically at sf0.01."""
     from .dedup import minhash_dup_pairs
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_dup_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+# Exact word-3-shingle Jaccard in SQL; the size-ratio prefilter
+# (2*min >= max) is implied by J >= 0.5, so it only prunes, never drops.
+SQL_MINHASH_VERIFIED_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+j AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+    CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+         WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
+)
+SELECT CAST(ia AS VARCHAR) AS id_a, CAST(ib AS VARCHAR) AS id_b,
+       round(jac, 4) AS jaccard
+FROM j WHERE jac >= 0.5
+"""
 
 
 def q_token_counts_documents(sf_dir: str):
@@ -532,19 +587,58 @@ SQL_FINGERPRINT_DOCUMENTS = "SELECT doc_id, md5(text) AS fingerprint FROM docume
 
 
 def q_lang_id_accuracy(sf_dir: str):
-    """Heuristic language-ID vs the labeled lang column: accuracy count.
-    (The predictor is our own heuristic — the oracle checks only agreement
-    counting, itself SQL-inexpressible, so this is a rows-only check.)"""
+    """Heuristic language-ID vs the labeled lang column: agreement counts.
+    Oracled: the stopword-marker + Han-script heuristic (stages/text.py
+    LanguageId) is replicated constraint-for-constraint in SQL (distinct
+    marker hits per language over the first 200 lowered tokens, first-max
+    wins in en > de > fr > es order, Han codepoint -> zh)."""
     from ray.data.aggregate import Count
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     pred = ds.repartition(_conc() * 2).map_batches(
         cached_stage(LanguageId, text_column="text"),
         batch_format="pyarrow")
-    return pred.map_batches(
+    out = pred.map_batches(
         lambda b: pa.table({
             "match": pc.equal(b["lang"], b["lang_pred"]),
         }), batch_format="pyarrow").groupby("match").aggregate(
         Count(alias_name="n"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n"), "n",
+                               pc.cast(t["n"], pa.int64())),
+        batch_format="pyarrow")
+
+
+SQL_LANG_ID_AGREEMENT = r"""
+WITH t AS (
+  SELECT lang, text,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 200)
+    END AS toks
+  FROM documents
+),
+h AS (
+  SELECT lang, regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS han,
+    len(list_intersect(list_distinct(toks),
+        ['the','and','of','to','a','in','is','that','it','for'])) AS h_en,
+    len(list_intersect(list_distinct(toks),
+        ['der','die','das','und','ist','nicht','ein','mit','zu','auf'])) AS h_de,
+    len(list_intersect(list_distinct(toks),
+        ['le','la','les','et','est','un','une','des','que','pour'])) AS h_fr,
+    len(list_intersect(list_distinct(toks),
+        ['el','la','los','las','es','un','una','que','por','con'])) AS h_es
+  FROM t
+),
+p AS (
+  SELECT lang,
+    CASE WHEN han THEN 'zh'
+         WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         WHEN h_fr >= h_es THEN 'fr'
+         ELSE 'es' END AS pred
+  FROM h
+)
+SELECT lang = pred AS match, count(*) AS n FROM p GROUP BY match
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -743,26 +837,47 @@ GROUP BY r_name
 """
 
 
+# Size-derived key-bucket count for windowed map_groups stages: one bucket
+# holds ~WINDOW_BUCKET_TARGET_ROWS rows in expectation (users are spread by
+# the stable hash), so per-group pandas memory is bounded at ~target x row
+# width regardless of total input size, and parallelism grows with the data.
+# A single pathological user still lands in one bucket — the documented
+# partitioning assumption is per-USER volume fits a worker, not per-bucket.
+WINDOW_BUCKET_TARGET_ROWS = 250_000
+
+
+def _window_buckets(n_rows: int) -> int:
+    return max(64, -(-n_rows // WINDOW_BUCKET_TARGET_ROWS))
+
+
+def _user_bucket_fn(n_buckets: int):
+    from ..state.sketches import _hash64
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = (_hash64(b["user_id"]) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket))
+
+    return bucketize
+
+
 def q_asof_join_clicks_errors(sf_dir: str):
     """As-of join (Ray Data has no native one): for each click event, the
     most recent error by the same user at or before the click.  Implemented
     as the documented composition — tag both sides, co-partition by user via
-    groupby, pandas merge_asof within each sorted group.  Partitioning
-    assumption: one user's events fit in one group."""
+    groupby on a size-derived bucket count (_window_buckets), pandas
+    merge_asof within each sorted group.  Per-group memory is bounded at
+    ~WINDOW_BUCKET_TARGET_ROWS rows; partitioning assumption: one USER's
+    events fit in one group."""
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "ts", "user_id", "event_type"])
+    n_buckets = _window_buckets(ds.count())
     two = ds.map_batches(
         lambda b: b.filter(pc.is_in(b["event_type"],
                                     value_set=pa.array(["click", "error"]))),
         batch_format="pyarrow")
 
-    import numpy as np
-    from ..state.sketches import _hash64
-
-    def bucketize(b: pa.Table) -> pa.Table:
-        bucket = (_hash64(b["user_id"]) % np.uint64(64)).astype(np.int32)
-        return b.append_column("bucket", pa.array(bucket))
+    bucketize = _user_bucket_fn(n_buckets)
 
     def asof(g):
         # vectorized multi-user as-of inside the bucket: merge_asof(by=user)
@@ -790,22 +905,40 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+# Above this many rows the exact quantile path (a bounded driver-side
+# order-statistics select over ONE pruned float column, ~8 bytes/row) switches
+# to the mergeable t-digest sketch — the driver never holds an unbounded
+# column.  50M rows = ~400 MB, well inside one node's heap.
+EXACT_QUANTILE_ROW_LIMIT = 50_000_000
+
+
 def q_quantiles_events_value(sf_dir: str):
-    """Exact discrete quantiles of events.value.  Small-column exact path:
-    stream the single pruned column to the driver and select order
-    statistics (at 10^12 scale the engine's Histogram/KLL sketch path in
-    state/sketches.py replaces this; this query pins the exact semantics)."""
+    """Discrete quantiles of events.value, size-gated:
+
+    * n <= EXACT_QUANTILE_ROW_LIMIT: exact order statistics over the single
+      pruned column (bounded driver materialization, documented).
+    * larger: the t-digest sketch (state/sketches.py) — partial-per-block,
+      tree-merged, no sort and no driver column; approximate at the 1e-3
+      relative level.  The oracle only applies at sf scales on the exact
+      side of the gate."""
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
-    chunks = [b["value"].to_numpy(zero_copy_only=False)
-              for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
-    vals = np.sort(np.concatenate(chunks))
-    n = len(vals)
+    n = ds.count()
+    if n <= EXACT_QUANTILE_ROW_LIMIT:
+        chunks = [b["value"].to_numpy(zero_copy_only=False)
+                  for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+        vals = np.sort(np.concatenate(chunks))
 
-    def qdisc(q: float) -> float:
-        # DuckDB quantile_disc: the element at ceil(q*n)-1 (0-indexed)
-        idx = max(0, int(np.ceil(q * n)) - 1)
-        return float(vals[idx])
+        def qdisc(q: float) -> float:
+            # DuckDB quantile_disc: the element at ceil(q*n)-1 (0-indexed)
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            return float(vals[idx])
+    else:
+        from ..stages.checks import column_tdigest
+        td = column_tdigest(ds, "value")
+
+        def qdisc(q: float) -> float:
+            return float(td.quantile(q))
 
     return pa.table({
         "n": pa.array([n], type=pa.int64()),
@@ -873,18 +1006,14 @@ FROM events GROUP BY day
 
 def q_sessions_per_user(sf_dir: str):
     """Session windowing (30-min gap): hash-bucket users (stable hash int
-    key, cheap shuffle), then compute EVERY user's session count inside the
-    bucket with one vectorized pandas pass — sort by (user, ts), mark
-    session starts where the user changes or the gap exceeds the window,
-    groupby-sum.  No per-user Python calls."""
-    import numpy as np
-    from ..state.sketches import _hash64
+    key, cheap shuffle; bucket count size-derived, per-group memory bounded
+    at ~WINDOW_BUCKET_TARGET_ROWS rows), then compute EVERY user's session
+    count inside the bucket with one vectorized pandas pass — sort by
+    (user, ts), mark session starts where the user changes or the gap
+    exceeds the window, groupby-sum.  No per-user Python calls."""
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
-
-    def bucketize(b: pa.Table) -> pa.Table:
-        bucket = (_hash64(b["user_id"]) % np.uint64(64)).astype(np.int32)
-        return b.append_column("bucket", pa.array(bucket))
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
 
     def sessions(g):
         import pandas as pd
@@ -950,6 +1079,126 @@ def _tokens_dir_for(sf_dir: str) -> str:
     return out
 
 
+# The correctness harness runs oracles at sf=0.01; the tokens oracles read
+# the deterministic synthesized parquet directly (oracle_sql() guarantees it
+# exists before any SQL runs).  _tokens_dir_for("/.../sf0.01") == this path.
+TOKENS_ORACLE_DIR = "/tmp/jsv_tokens/sf0.01"
+TOKENS_ORACLE_ROWS = 60_000
+
+
+def _tokens_sql(tokens_dir: str) -> dict[str, str]:
+    """DuckDB oracles for the tokens-table queries, parameterized on the
+    tokens parquet directory (tests use the sf0.001 dir).  The violation
+    indicators mirror TOKENS_SCHEMA constraint-for-constraint: each CASE is
+    one vectorized-kernel constraint id (stages/vectorized.py)."""
+    src = f"read_parquet('{tokens_dir}/part-*.parquet')"
+    srcs = ", ".join(f"'{s}'" for s in SOURCES)
+    indicators = f"""
+      CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END
+    + CASE WHEN doc_id IS NOT NULL AND strlen(doc_id) < 1 THEN 1 ELSE 0 END
+    + CASE WHEN doc_id IS NOT NULL AND strlen(doc_id) > 64 THEN 1 ELSE 0 END
+    + CASE WHEN doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-') THEN 1 ELSE 0 END
+    + CASE WHEN tokens IS NULL THEN 1 ELSE 0 END
+    + CASE WHEN tokens IS NOT NULL AND len(tokens) < 1 THEN 1 ELSE 0 END
+    + CASE WHEN tokens IS NOT NULL AND len(tokens) > {MAX_TOKENS} THEN 1 ELSE 0 END
+    + CASE WHEN tokens IS NOT NULL AND len(list_filter(tokens, x -> x IS NULL)) > 0 THEN 1 ELSE 0 END
+    + CASE WHEN tokens IS NOT NULL AND coalesce(list_min(tokens) < 0, FALSE) THEN 1 ELSE 0 END
+    + CASE WHEN tokens IS NOT NULL AND coalesce(list_max(tokens) >= {VOCAB_SIZE}, FALSE) THEN 1 ELSE 0 END
+    + CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END
+    + CASE WHEN n_tok IS NOT NULL AND n_tok < 1 THEN 1 ELSE 0 END
+    + CASE WHEN n_tok IS NOT NULL AND n_tok > {MAX_TOKENS} THEN 1 ELSE 0 END
+    + CASE WHEN source IS NULL THEN 1 ELSE 0 END
+    + CASE WHEN source IS NOT NULL AND source NOT IN ({srcs}) THEN 1 ELSE 0 END
+    + CASE WHEN n_tok IS NOT NULL AND tokens IS NOT NULL AND n_tok != len(tokens) THEN 1 ELSE 0 END
+    """
+    verdict_cte = f"""
+WITH t AS (SELECT * FROM {src}),
+v AS (SELECT doc_id, tokens, n_tok, source, CAST({indicators} AS BIGINT) AS n_violations FROM t)
+"""
+    per_kind = f"""
+  SELECT 'tokens/items.minimum' AS constraint_id,
+         count(*) FILTER (WHERE tokens IS NOT NULL AND coalesce(list_min(tokens) < 0, FALSE)) AS n_violations FROM t
+  UNION ALL SELECT 'tokens/items.exclusiveMaximum',
+         count(*) FILTER (WHERE tokens IS NOT NULL AND coalesce(list_max(tokens) >= {VOCAB_SIZE}, FALSE)) FROM t
+  UNION ALL SELECT 'tokens/minItems', count(*) FILTER (WHERE tokens IS NOT NULL AND len(tokens) < 1) FROM t
+  UNION ALL SELECT 'tokens/maxItems', count(*) FILTER (WHERE tokens IS NOT NULL AND len(tokens) > {MAX_TOKENS}) FROM t
+  UNION ALL SELECT 'n_tok/minimum', count(*) FILTER (WHERE n_tok IS NOT NULL AND n_tok < 1) FROM t
+  UNION ALL SELECT 'n_tok/maximum', count(*) FILTER (WHERE n_tok IS NOT NULL AND n_tok > {MAX_TOKENS}) FROM t
+  UNION ALL SELECT 'source/enum', count(*) FILTER (WHERE source IS NOT NULL AND source NOT IN ({srcs})) FROM t
+  UNION ALL SELECT 'doc_id/pattern', count(*) FILTER (WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-')) FROM t
+  UNION ALL SELECT 'doc_id/minLength', count(*) FILTER (WHERE doc_id IS NOT NULL AND strlen(doc_id) < 1) FROM t
+  UNION ALL SELECT 'doc_id/maxLength', count(*) FILTER (WHERE doc_id IS NOT NULL AND strlen(doc_id) > 64) FROM t
+  UNION ALL SELECT 'row/n_tok_equals_len_tokens',
+         count(*) FILTER (WHERE n_tok IS NOT NULL AND tokens IS NOT NULL AND n_tok != len(tokens)) FROM t
+"""
+    return {
+        "tokens_verdicts": verdict_cte + """
+SELECT doc_id, n_violations = 0 AS valid, n_violations FROM v
+""",
+        "tokens_validation_summary": verdict_cte + """
+SELECT count(*) AS "rows",
+       count(*) FILTER (WHERE n_violations > 0) AS invalid_rows,
+       CAST(sum(n_violations) AS BIGINT) AS violation_count,
+       (SELECT count(*) FROM (SELECT doc_id FROM v GROUP BY doc_id HAVING count(*) > 1)) AS duplicate_doc_ids
+FROM v
+""",
+        "tokens_top_violations": f"""
+WITH t AS (SELECT * FROM {src}),
+c AS ({per_kind})
+SELECT constraint_id, CAST(n_violations AS BIGINT) AS n_violations
+FROM c WHERE n_violations > 0
+ORDER BY n_violations DESC, constraint_id ASC LIMIT 20
+""",
+        "tokens_salted_source_counts": f"""
+SELECT source, count(*) AS "count" FROM {src} GROUP BY source
+""",
+        "tokens_length_quantiles": f"""
+SELECT CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS q50,
+       CAST(quantile_disc(n_tok, 0.75) AS BIGINT) AS q75,
+       CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS q99,
+       count(n_tok) AS total
+FROM {src}
+""",
+        "tokens_column_stats": f"""
+WITH t AS (SELECT * FROM {src})
+SELECT 'doc_id' AS "column", count(*) AS row_count,
+       count(*) - count(doc_id) AS null_count,
+       min(doc_id) AS min_value, max(doc_id) AS max_value,
+       CAST(NULL AS DOUBLE) AS mean_value, CAST(NULL AS DOUBLE) AS std_value,
+       count(DISTINCT doc_id) AS ndv_exact
+FROM t
+UNION ALL
+SELECT 'tokens', count(*), count(*) - count(tokens),
+       CAST(min(len(tokens)) AS VARCHAR), CAST(max(len(tokens)) AS VARCHAR),
+       round(CAST(sum(len(tokens)) AS DOUBLE) / count(tokens), 6),
+       round(sqrt(greatest(0.0,
+             CAST(sum(CAST(len(tokens) AS BIGINT) * len(tokens)) AS DOUBLE) / count(tokens)
+             - pow(CAST(sum(len(tokens)) AS DOUBLE) / count(tokens), 2))), 6),
+       CAST(NULL AS BIGINT)
+FROM t
+UNION ALL
+SELECT 'n_tok', count(*), count(*) - count(n_tok),
+       CAST(min(n_tok) AS VARCHAR), CAST(max(n_tok) AS VARCHAR),
+       round(CAST(sum(n_tok) AS DOUBLE) / count(n_tok), 6),
+       round(sqrt(greatest(0.0,
+             CAST(sum(CAST(n_tok AS BIGINT) * n_tok) AS DOUBLE) / count(n_tok)
+             - pow(CAST(sum(n_tok) AS DOUBLE) / count(n_tok), 2))), 6),
+       CAST(NULL AS BIGINT)
+FROM t
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+       min(source), max(source),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       count(DISTINCT source)
+FROM t
+""",
+    }
+
+
+TOKENS_ORACLE_SQL = _tokens_sql(TOKENS_ORACLE_DIR)
+
+
 def q_tokens_validation_summary(sf_dir: str):
     rep = full_report(_tokens_dir_for(sf_dir))
     return pa.table({
@@ -961,14 +1210,67 @@ def q_tokens_validation_summary(sf_dir: str):
 
 
 def q_tokens_verdicts(sf_dir: str):
+    """Per-row verdict flags (doc_id, valid, n_violations) — the violations
+    JSON detail column stays on the library surface (validate_dataset) but is
+    excluded here so the verdict is SQL-oracle-checkable byte for byte."""
     ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
-    return validate_dataset(ds)
+    return validate_dataset(ds).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "valid": b["valid"],
+            "n_violations": pc.cast(b["n_violations"], pa.int64()),
+        }), batch_format="pyarrow")
 
 
 def q_tokens_column_stats(sf_dir: str):
-    ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
-    return column_stats(ds, ["doc_id", "tokens", "n_tok", "source"],
-                        ndv_columns=["doc_id", "source"])
+    """Per-column stats over the tokens table with EXACT distinct counts
+    (combiner + hash-bucket shuffle, stages/checks.exact_distinct_count).
+    The HLL-sketch NDV estimate stays on the column_stats library surface for
+    the shuffle-free path; this query reports exact values so the SQL oracle
+    applies."""
+    from ..stages.checks import exact_distinct_count
+    import ray.data as rd
+    tdir = _tokens_dir_for(sf_dir)
+    ds = rd.read_parquet(tdir)
+    stats = column_stats(ds, ["doc_id", "tokens", "n_tok", "source"],
+                         ndv_columns=[])
+    ndv = {col: exact_distinct_count(
+        rd.read_parquet(tdir, columns=[col]), col)
+        for col in ("doc_id", "source")}
+    out = {"column": [], "row_count": [], "null_count": [],
+           "min_value": [], "max_value": [], "mean_value": [], "std_value": [],
+           "ndv_exact": []}
+    for i in range(stats.num_rows):
+        col = stats["column"][i].as_py()
+        out["column"].append(col)
+        out["row_count"].append(stats["row_count"][i].as_py())
+        out["null_count"].append(stats["null_count"][i].as_py())
+        out["min_value"].append(stats["min_value"][i].as_py())
+        out["max_value"].append(stats["max_value"][i].as_py())
+        mean = stats["mean_value"][i].as_py()
+        std = stats["std_value"][i].as_py()
+        out["mean_value"].append(None if mean is None else round(mean, 6))
+        out["std_value"].append(None if std is None else round(std, 6))
+        out["ndv_exact"].append(ndv.get(col))
+    return pa.table({
+        "column": pa.array(out["column"], type=pa.string()),
+        "row_count": pa.array(out["row_count"], type=pa.int64()),
+        "null_count": pa.array(out["null_count"], type=pa.int64()),
+        "min_value": pa.array(out["min_value"], type=pa.string()),
+        "max_value": pa.array(out["max_value"], type=pa.string()),
+        "mean_value": pa.array(out["mean_value"], type=pa.float64()),
+        "std_value": pa.array(out["std_value"], type=pa.float64()),
+        "ndv_exact": pa.array(out["ndv_exact"], type=pa.int64()),
+    })
+
+
+def q_embedding_srp_pairs(sf_dir: str):
+    """Approximate near-dup pairs via SRP bucketing (the sub-quadratic scale
+    path; recall documented in pipelines/dedup.embedding_srp_pairs — rows-only
+    check, results are a recall-bounded subset of the exact pair set)."""
+    from .dedup import embedding_srp_pairs
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_srp_pairs(ds, "vec_id", "embedding", threshold=0.4, bits=4)
 
 
 # ---------------------------------------------------------------------------
@@ -998,16 +1300,17 @@ REGISTRY: dict[str, tuple] = {
     # text analysis
     "token_counts_documents": (q_token_counts_documents, SQL_TOKEN_COUNTS_DOCUMENTS),
     "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
-    "minhash_verified_pairs": (q_minhash_verified_pairs, None),
+    "minhash_verified_pairs": (q_minhash_verified_pairs, SQL_MINHASH_VERIFIED_PAIRS),
     "stopword_stats": (q_stopword_stats, SQL_STOPWORD_STATS),
     "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
-    "lang_id_agreement": (q_lang_id_accuracy, None),
+    "lang_id_agreement": (q_lang_id_accuracy, SQL_LANG_ID_AGREEMENT),
     # dedup
     "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP_DOCUMENTS),
     "prefix_bucket_dups": (q_prefix_bucket_dups, SQL_PREFIX_BUCKET_DUPS),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
     "simhash_buckets": (q_simhash_buckets, None),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
+    "embedding_srp_pairs": (q_embedding_srp_pairs, None),
     # similarity search
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK_COSINE),
     "ann_srp_topk": (q_ann_srp_topk, None),
@@ -1023,13 +1326,19 @@ REGISTRY: dict[str, tuple] = {
     "tumbling_daily_events": (q_tumbling_daily_events, SQL_TUMBLING_DAILY_EVENTS),
     # multimodal plumbing
     "multimodal_payload_stats": (q_multimodal_payload_stats, SQL_MULTIMODAL_PAYLOAD_STATS),
-    # flagship tokens pipelines (synthesized input -> rows-only driver check)
-    "tokens_validation_summary": (q_tokens_validation_summary, None),
-    "tokens_verdicts": (q_tokens_verdicts, None),
-    "tokens_column_stats": (q_tokens_column_stats, None),
-    "tokens_top_violations": (q_tokens_top_violations, None),
-    "tokens_length_quantiles": (q_tokens_length_quantiles, None),
-    "tokens_salted_source_counts": (q_tokens_salted_source_counts, None),
+    # flagship tokens pipelines (deterministic synthesized input; the oracle
+    # SQL reads the same parquet via read_parquet() — oracle_sql() writes it)
+    "tokens_validation_summary": (q_tokens_validation_summary,
+                                  TOKENS_ORACLE_SQL["tokens_validation_summary"]),
+    "tokens_verdicts": (q_tokens_verdicts, TOKENS_ORACLE_SQL["tokens_verdicts"]),
+    "tokens_column_stats": (q_tokens_column_stats,
+                            TOKENS_ORACLE_SQL["tokens_column_stats"]),
+    "tokens_top_violations": (q_tokens_top_violations,
+                              TOKENS_ORACLE_SQL["tokens_top_violations"]),
+    "tokens_length_quantiles": (q_tokens_length_quantiles,
+                                TOKENS_ORACLE_SQL["tokens_length_quantiles"]),
+    "tokens_salted_source_counts": (q_tokens_salted_source_counts,
+                                    TOKENS_ORACLE_SQL["tokens_salted_source_counts"]),
 }
 
 
@@ -1038,4 +1347,12 @@ def queries():
 
 
 def oracle_sql():
+    # the tokens oracles read the deterministic synthesized parquet at the
+    # correctness harness's sf=0.01 scale; write it here (idempotent, pure
+    # pyarrow, no Ray) so the SQL works regardless of whether the Ray query
+    # or the oracle runs first
+    try:
+        write_tokens_parquet(TOKENS_ORACLE_DIR, TOKENS_ORACLE_ROWS, n_partitions=16)
+    except OSError:
+        pass   # read-only /tmp etc: the Ray-side query will create it instead
     return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -162,6 +162,69 @@ def duplicate_keys(ds, key: str = "doc_id", batch_size: int = 65536,
                                                  batch_format="pandas")
 
 
+def exact_distinct_count(ds, key: str, batch_size: int = 65536,
+                         n_buckets: int = 256) -> int:
+    """EXACT number-of-distinct-values via the same combiner + stable-hash
+    bucket pattern as ``duplicate_keys``: per-batch ``value_counts`` collapses
+    repeats, the shuffle moves only (key, bucket) rows, and each bucket
+    reports its local distinct count (buckets partition the key space, so the
+    sum is exact).  Use the HLL sketch (``column_stats``) when an estimate is
+    enough — this path pays one hash-partitioned shuffle of the distinct
+    keys."""
+    partials = ds.map_batches(
+        lambda b: _bucketed_partial_counts(b, key, n_buckets).select(
+            [key, "bucket"]),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def count_bucket(g):
+        import pandas as pd
+        return pd.DataFrame({"n": [g[key].nunique()]})
+
+    per_bucket = partials.groupby("bucket").map_groups(count_bucket,
+                                                       batch_format="pandas")
+    return sum(r["n"] for r in per_bucket.take_all())
+
+
+def exact_bounded_quantiles(ds, column: str, quantiles: list[float],
+                            lo: int, hi: int, of_list_lengths: bool = False,
+                            batch_size: int = 65536) -> tuple[list, int]:
+    """EXACT quantiles of an integer column with a known bounded domain
+    [lo, hi] (e.g. n_tok in [1, 2048]): per-batch ``np.bincount`` partials of
+    size (hi-lo+1) merged on the driver — no sort, no shuffle, O(domain)
+    driver memory regardless of row count.  Values outside the domain are
+    clipped into the boundary bins (callers pass the true bounds).
+
+    Quantile definition matches DuckDB ``quantile_disc`` (verified
+    empirically): the value at 1-based rank ``ceil(q * n)`` of the sorted
+    non-null values.  Returns (values, n_nonnull)."""
+    domain = hi - lo + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[column]
+        if of_list_lengths:
+            arr = pc.list_value_length(arr)
+        vals = arr.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
+        counts = np.bincount(np.clip(vals.astype(np.int64) - lo, 0, domain - 1),
+                             minlength=domain)
+        return pa.table({"counts": pa.array([counts.tobytes()], type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size).take_all()
+    total = np.zeros(domain, dtype=np.int64)
+    for row in partials:
+        total += np.frombuffer(row["counts"], dtype=np.int64)
+    n = int(total.sum())
+    if n == 0:
+        return [None] * len(quantiles), 0
+    cum = np.cumsum(total)
+    out = []
+    for q in quantiles:
+        target = max(1, int(np.ceil(q * n)))        # 1-based rank
+        idx = int(np.searchsorted(cum, target))
+        out.append(lo + idx)
+    return out, n
+
+
 def uniqueness_report(ds, key: str = "doc_id") -> pa.Table:
     """Materialized duplicate report (duplicate keys are assumed rare)."""
     dups = duplicate_keys(ds, key)

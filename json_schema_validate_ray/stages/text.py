@@ -232,10 +232,33 @@ class MinHasher:
         vals = (h[None, :] * self.a[:, None] + self.b[:, None])
         return vals.min(axis=1)
 
+    def signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signatures for a whole batch: all documents'
+        shingle hashes flattened once, then per-permutation (a*h + b) +
+        segmented min via ``np.minimum.reduceat`` — identical arithmetic to
+        ``signature`` (uint64 wraparound included) but one numpy pass per
+        permutation instead of a Python call per document."""
+        hs = [_token_hashes(t or "", self.n_shingle, self._token_cache)
+              for t in texts]
+        lengths = np.array([len(h) for h in hs], dtype=np.int64)
+        sigs = np.zeros((len(hs), self.num_perm), dtype=np.uint64)
+        nonempty = lengths > 0
+        if not nonempty.any():
+            return sigs
+        flat = np.concatenate([h for h in hs if len(h)])
+        ne_lengths = lengths[nonempty]
+        starts = np.zeros(len(ne_lengths), dtype=np.int64)
+        np.cumsum(ne_lengths[:-1], out=starts[1:])
+        ne_idx = np.nonzero(nonempty)[0]
+        for p in range(self.num_perm):
+            vals = flat * self.a[p] + self.b[p]
+            sigs[ne_idx, p] = np.minimum.reduceat(vals, starts)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts]) \
-            if texts else np.zeros((0, self.num_perm), dtype=np.uint64)
+        sigs = self.signatures(texts) if texts \
+            else np.zeros((0, self.num_perm), dtype=np.uint64)
         out = batch
         for j in range(self.bands):
             band = sigs[:, j * self.rows_per_band:(j + 1) * self.rows_per_band]

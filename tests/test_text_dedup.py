@@ -177,3 +177,17 @@ def test_row_parity_validator_matches_table_plan():
     plan_valid, _ = TablePlan(TOKENS_SCHEMA).evaluate_batch(batch)
     assert out["valid"].to_pylist() == plan_valid.tolist()
     assert out.column_names == ["doc_id", "valid"]
+
+
+def test_minhash_batch_signatures_identical():
+    """The vectorized batch path (signatures) must produce byte-identical
+    band keys to the per-document path (signature) — pins VERDICT fix #4."""
+    import numpy as np
+    from json_schema_validate_ray.stages.text import MinHasher
+    mh = MinHasher()
+    texts = ["the quick brown fox", "", "one", "two words",
+             "a much longer document with many repeated words " * 5,
+             "the quick brown fox"]
+    batch = mh.signatures(texts)
+    per_doc = np.stack([MinHasher().signature(t) for t in texts])
+    assert np.array_equal(batch, per_doc)
