@@ -93,6 +93,48 @@ def run_bench() -> dict:
     timed("tokens_duplicate_keys", lambda: duplicate_keys(
         rd.read_parquet(tokens_dir, columns=["doc_id"]), "doc_id").count())
 
+    # nested-object (struct-column) validation throughput: the vectorized
+    # struct recursion path (stages/vectorized._struct_violations); pre-fix
+    # this dropped to the per-row evaluator (see BASELINE.md for the measured
+    # vectorized-vs-fallback ratio)
+    def struct_validate():
+        import numpy as np
+        import pyarrow as pa
+
+        schema = {"type": "object", "properties": {"s": {
+            "type": "object", "required": ["a"],
+            "properties": {"a": {"type": "integer", "minimum": 0},
+                           "b": {"type": "string", "minLength": 2},
+                           "inner": {"type": "object",
+                                     "properties": {"k": {"type": "integer",
+                                                          "multipleOf": 2}}}}}}}
+        n_rows = max(100_000, tokens_rows)
+
+        def gen(b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            n = len(ids)
+            rng = np.random.default_rng(int(ids[0]) if n else 0)
+            return pa.table({
+                "doc_id": pa.array([f"d{i}" for i in ids], type=pa.string()),
+                "s": pa.array([
+                    {"a": int(a), "b": "xx" if i % 97 else "z",
+                     "inner": {"k": int(k)}}
+                    for i, a, k in zip(ids, rng.integers(-1, 100, n),
+                                       rng.integers(0, 10, n))]),
+            })
+
+        ds = rd.range(n_rows, override_num_blocks=32).map_batches(
+            gen, batch_format="pyarrow")
+        verdicts = validate_dataset(ds, schema=schema, cross_checks=(),
+                                    batch_size=8192)
+        import pyarrow.compute as pc
+        agg = verdicts.map_batches(
+            lambda b: pa.table({"n": pa.array([b.num_rows])}),
+            batch_format="pyarrow").take_all()
+        assert sum(r["n"] for r in agg) == n_rows
+
+    timed("struct_validate", struct_validate)
+
     # representative operator suite over the testdata tables
     suite = ["pricing_summary", "validate_props_events", "exact_dedup_documents",
              "minhash_lsh_candidates", "ann_topk_cosine", "sessions_per_user",
@@ -201,27 +243,35 @@ def run_scaling() -> dict:
     running all of one level then all of the other would let drift
     masquerade as (anti-)scaling; interleaving exposes both levels to the
     same conditions and min-of-reps is the low-noise estimator."""
-    reps = int(os.environ.get("JSV_SCALING_REPS", "2"))
+    import statistics
+
+    reps = int(os.environ.get("JSV_SCALING_REPS", "3"))
     best: dict[int, dict] = {}
+    per_rep_eff: list[float] = []
+    lo, hi = SCALING_CPUS
     for _ in range(reps):
+        rep_t: dict[int, float] = {}
         for ncpu in SCALING_CPUS:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-worker", str(ncpu)],
                 capture_output=True, text=True, check=True)
             r = json.loads(proc.stdout.strip().splitlines()[-1])
+            rep_t[ncpu] = r["total_sec"]
             if ncpu not in best or r["total_sec"] < best[ncpu]["total_sec"]:
                 best[ncpu] = r
-    lo, hi = SCALING_CPUS
+        per_rep_eff.append(round((rep_t[lo] / rep_t[hi]) / (hi / lo), 3))
     t_lo, t_hi = best[lo]["total_sec"], best[hi]["total_sec"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    eff_best = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": f"scaling efficiency, num_cpus {lo} -> {hi} (N -> 4N), same input",
         f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
         f"rows_per_sec_{lo}": best[lo]["rows_per_sec"],
         f"rows_per_sec_{hi}": best[hi]["rows_per_sec"],
         "stages": {str(n): best[n]["stages"] for n in SCALING_CPUS},
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(eff_best, 3),
+        "scaling_efficiency_per_rep": per_rep_eff,
+        "scaling_efficiency_median": round(statistics.median(per_rep_eff), 3),
         "reps": reps,
         "tokens_rows": SCALING_ROWS,
     }

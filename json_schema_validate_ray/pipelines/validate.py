@@ -83,10 +83,15 @@ def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
     kwargs = {"schema": schema, "id_column": id_column, "cross_checks": cross,
               "keep_columns": [id_column]}
     if compute == "actors":
+        # max_restarts=0: constructor kwargs (the schema dict) live in the
+        # object store; a restart after they fall out of scope would fail
+        # anyway, and Ray Data resubmits failed tasks to other pool actors —
+        # this also silences the per-actor core_worker warning in benches
         return ds.map_batches(
             ValidityAnnotator, fn_constructor_kwargs=kwargs,
             batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency or _default_concurrency())
+            concurrency=concurrency or _default_concurrency(),
+            max_restarts=0)
 
     key = pickle.dumps(kwargs)
 

@@ -67,6 +67,32 @@ _ITEM_KEYWORDS = {"type", "minimum", "maximum", "exclusiveMinimum",
 _CONTAINS_KEYWORDS = {"type", "minimum", "maximum", "exclusiveMinimum",
                       "exclusiveMaximum", "const"}
 
+# Object-shaped subschemas over Arrow STRUCT columns stay vectorized when
+# they use only these keywords (recursing into fields via pc.struct_field);
+# anything else (patternProperties, propertyNames, schema-form
+# additionalProperties, ...) drops the column to the per-row evaluator.
+_OBJECT_KEYWORDS = {"type", "enum", "const", "properties", "required",
+                    "minProperties", "maxProperties", "additionalProperties"}
+
+
+def _strip_struct_nones(v):
+    """Arrow-struct convention: a null field is the JSON 'key absent' state
+    (same rule as top-level columns).  Applied before handing struct-column
+    values to the per-row evaluator so both paths agree."""
+    if isinstance(v, dict):
+        return {k: _strip_struct_nones(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_strip_struct_nones(x) for x in v]
+    return v
+
+
+def _dtype_contains_struct(dt: pa.DataType) -> bool:
+    if pa.types.is_struct(dt):
+        return True
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt) or pa.types.is_fixed_size_list(dt):
+        return _dtype_contains_struct(dt.value_type)
+    return False
+
 
 def _observed(v, limit: int = 128) -> str:
     try:
@@ -197,14 +223,40 @@ class ColumnCheckPlan:
         self.col = col
         self.subschema = subschema
         self.compiled = compiled
+        self._children: Optional[dict] = None   # struct-field sub-plans
         self.vectorized = (
             isinstance(subschema, dict)
             and set(subschema.keys()) <= VECTORIZABLE_KEYWORDS
             and self._items_vectorizable(subschema.get("items"))
             and self._contains_vectorizable(subschema.get("contains"))
         ) or isinstance(subschema, bool)
+        if not self.vectorized and isinstance(subschema, dict):
+            self.vectorized = self._object_vectorizable(subschema)
         # fallback evaluator built lazily per worker (not picklable state)
         self._row_eval: Optional[Evaluator] = None
+
+    def _object_vectorizable(self, s: dict) -> bool:
+        """Object-shaped subschema -> compile per-field sub-plans (recursive);
+        vectorizable iff every keyword and every field subschema is."""
+        keys = set(s.keys())
+        if not keys & {"properties", "required", "minProperties",
+                       "maxProperties", "additionalProperties"}:
+            return False
+        if not keys <= _OBJECT_KEYWORDS:
+            return False
+        if "additionalProperties" in s and not isinstance(s["additionalProperties"], bool):
+            return False   # schema-form additionalProperties -> row fallback
+        if "required" in s and not isinstance(s["required"], list):
+            return False
+        props = s.get("properties", {})
+        if props is not None and not isinstance(props, dict):
+            return False
+        children = {name: ColumnCheckPlan(f"{self.col}/{name}", sub, None)
+                    for name, sub in (props or {}).items()}
+        if not all(ch.vectorized for ch in children.values()):
+            return False
+        self._children = children
+        return True
 
     @staticmethod
     def _items_vectorizable(items) -> bool:
@@ -245,6 +297,9 @@ class ColumnCheckPlan:
         if self._row_eval is None:
             self._row_eval = Evaluator(jsonschema_compile(self.subschema))
         values = arr.to_pylist()
+        if _dtype_contains_struct(arr.type):
+            # struct convention: null field == key absent (engine-wide rule)
+            values = [_strip_struct_nones(v) for v in values]
         col = self.col
         bad = np.zeros(len(values), dtype=bool)
         errors_by_row: dict[int, list] = {}
@@ -390,6 +445,85 @@ class ColumnCheckPlan:
                 # nested list-of-list columns: element kernels assume scalar
                 # values — use the per-row parity evaluator instead
                 return self._evaluate_fallback(arr, notnull)
+
+        # ---- object constraints over Arrow struct columns (vectorized
+        # recursion, pc.struct_field per declared property) ----
+        if self._children is not None and pa.types.is_struct(dtype):
+            out.extend(self._struct_violations(arr, notnull))
+        return out
+
+    def _struct_violations(self, arr: pa.Array, notnull: np.ndarray) -> list[ColumnViolation]:
+        """Object keywords over a struct column.  Field-null == key absent
+        (the engine's column convention applied recursively), so:
+        ``required`` flags parent-present & field-null; per-field subschemas
+        recurse through sub-plans on ``pc.struct_field``; min/maxProperties
+        count non-null fields; additionalProperties=False flags non-null
+        undeclared fields.  Mirrors check_properties /
+        check_additional_properties / check_object_size_constraints
+        (json_schema_validate.c:785-837, 1358-1487, 1687-1740)."""
+        s = self.subschema
+        col = self.col
+        out: list[ColumnViolation] = []
+        field_names = [f.name for f in arr.type]
+
+        for name in s.get("required", []) or []:
+            if not isinstance(name, str):
+                continue
+            if name in field_names:
+                child = pc.struct_field(arr, name)
+                bad = notnull & ~_np_bool(pc.is_valid(child))
+            else:
+                bad = notnull.copy()
+            if bad.any():
+                out.append(ColumnViolation(
+                    f"{col}/{name}/required", bad,
+                    lambda i, c=name: (col, f"Missing required property: {c}",
+                                       "null")))
+
+        for name, child_plan in (self._children or {}).items():
+            if name not in field_names:
+                continue   # field absent everywhere: no present values to check
+            child = pc.struct_field(arr, name)
+            for v in child_plan.evaluate(child):
+                masked = v.bad & notnull   # parent-null rows are 'column missing'
+                if masked.any():
+                    out.append(ColumnViolation(v.constraint_id, masked, v.detail))
+
+        if is_number(s.get("minProperties")) or is_number(s.get("maxProperties")) \
+                or s.get("additionalProperties") is False:
+            present_counts = np.zeros(len(notnull), dtype=np.int64)
+            declared = set((s.get("properties") or {}).keys())
+            for f in field_names:
+                fvalid = _np_bool(pc.is_valid(pc.struct_field(arr, f)))
+                present_counts += fvalid.astype(np.int64)
+                if s.get("additionalProperties") is False and f not in declared:
+                    bad = fvalid & notnull
+                    if bad.any():
+                        out.append(ColumnViolation(
+                            f"{col}/{f}/additionalProperties", bad,
+                            lambda i, c=f: (col,
+                                            f"Additional property '{c}' is not allowed",
+                                            "present")))
+            v = s.get("minProperties")
+            if is_number(v):
+                bound = numeric_to_int(v)
+                bad = (present_counts < bound) & notnull
+                if bad.any():
+                    out.append(ColumnViolation(
+                        f"{col}/minProperties", bad,
+                        lambda i, b=bound: (col,
+                                            f"Object has {present_counts[i]} properties, minimum is {b}",
+                                            str(present_counts[i]))))
+            v = s.get("maxProperties")
+            if is_number(v):
+                bound = numeric_to_int(v)
+                bad = (present_counts > bound) & notnull
+                if bad.any():
+                    out.append(ColumnViolation(
+                        f"{col}/maxProperties", bad,
+                        lambda i, b=bound: (col,
+                                            f"Object has {present_counts[i]} properties, maximum is {b}",
+                                            str(present_counts[i]))))
         return out
 
     # ------------------------------------------------------------------
@@ -432,11 +566,16 @@ class ColumnCheckPlan:
         pattern compiles there, else Python re per value.  An invalid pattern
         -> None (check silently passes, json_schema_validate.c:189-198)."""
         pat = translate_posix_pattern(pattern)
-        try:
-            ok = pc.match_substring_regex(arr, pat)
-            return ~_np_bool(ok)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-            pass
+        # RE2 parses "{,n}" as LITERAL text while Python re reads {0,n} —
+        # the one construct RE2 accepts with different semantics; every other
+        # divergence (back-references etc.) makes RE2 raise and fall through.
+        # The engine's canonical dialect is Python re (tests/test_regex_dialect).
+        if "{," not in pat:
+            try:
+                ok = pc.match_substring_regex(arr, pat)
+                return ~_np_bool(ok)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass
         try:
             rex = re.compile(pat)
         except re.error:

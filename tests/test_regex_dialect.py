@@ -1,0 +1,101 @@
+"""Regex dialect pinning: POSIX ERE (the reference, REG_EXTENDED,
+json_schema_validate.c:188) vs Python ``re`` (this engine).
+
+Each divergence is enumerated here with the engine's CHOSEN behavior asserted
+on both validation paths (per-row evaluator and vectorized kernels), so any
+future dialect change is a visible test break, not a silent verdict flip.
+
+Chosen behaviors (documented in functions/compiler.py):
+* Perl classes (\\d \\w \\s ...): Python semantics (character classes).  In
+  POSIX ERE these are undefined (glibc matches the literal letter); schemas
+  relying on literal 'd' via '\\d' will diverge from the reference.
+* Back-references (\\1): supported (Python).  Invalid in POSIX ERE.
+* POSIX bracket classes ([[:digit:]] etc.): translated, work on both paths.
+* Open-ended lower interval ``{,3}``: Python treats it as {0,3}.
+* Invalid patterns (unbalanced paren): the check silently PASSES — identical
+  to the reference's regcomp-failure behavior (json_schema_validate.c:189-198).
+"""
+
+import pyarrow as pa
+
+from json_schema_validate_ray.functions.compiler import jsonschema_compile
+from json_schema_validate_ray.functions.evaluator import Evaluator
+from json_schema_validate_ray.stages.vectorized import TablePlan
+
+
+def _row_verdict(pattern: str, value: str) -> bool:
+    schema = {"type": "object",
+              "properties": {"a": {"type": "string", "pattern": pattern}}}
+    return Evaluator(jsonschema_compile(schema)).validate_document({"a": value}, None)
+
+
+def _vec_verdict(pattern: str, value: str) -> bool:
+    schema = {"type": "object",
+              "properties": {"a": {"type": "string", "pattern": pattern}}}
+    plan = TablePlan(schema, id_column="a")
+    valid, _ = plan.evaluate_batch(pa.table({"a": [value]}))
+    return bool(valid[0])
+
+
+def _both(pattern: str, value: str) -> bool:
+    r, v = _row_verdict(pattern, value), _vec_verdict(pattern, value)
+    assert r == v, f"row/vectorized disagree on {pattern!r} vs {value!r}: {r} != {v}"
+    return r
+
+
+def test_perl_digit_class_is_python_semantics():
+    # POSIX ERE would match the literal 'd'; we CHOOSE Python \d = [0-9]
+    assert _both(r"^\d+$", "123")
+    assert not _both(r"^\d+$", "ddd")
+
+
+def test_perl_word_class_is_python_semantics():
+    assert _both(r"^\w+$", "ab_9")
+    assert not _both(r"^\w+$", "!!")
+
+
+def test_perl_space_class_is_python_semantics():
+    assert _both(r"a\sb", "a b")
+    assert not _both(r"a\sb", "asb")
+
+
+def test_backreference_supported():
+    # invalid in POSIX ERE; we CHOOSE Python support
+    assert _both(r"^(ab)\1$", "abab")
+    assert not _both(r"^(ab)\1$", "abcd")
+
+
+def test_posix_bracket_classes_translated():
+    assert _both(r"^[[:digit:]]+$", "42")
+    assert not _both(r"^[[:digit:]]+$", "4a")
+    assert _both(r"^[[:alpha:][:space:]]+$", "ab cd")
+    assert not _both(r"^[[:alpha:][:space:]]+$", "ab9")
+
+
+def test_interval_bounds():
+    assert _both(r"^a{2,3}$", "aa")
+    assert _both(r"^a{2,3}$", "aaa")
+    assert not _both(r"^a{2,3}$", "a")
+    assert not _both(r"^a{2,3}$", "aaaa")
+    # open lower bound: Python {,3} == {0,3}
+    assert _both(r"^a{,3}$", "")
+    assert _both(r"^a{,3}$", "aaa")
+    assert not _both(r"^a{,3}$", "aaaa")
+
+
+def test_invalid_pattern_silently_passes():
+    # regcomp failure -> check passes (json_schema_validate.c:189-198, 972)
+    assert _both(r"(unbalanced", "anything")
+
+
+def test_malformed_brace_is_literal():
+    # "a{bad" compiles as a LITERAL in both Python re and RE2 — it is not an
+    # invalid pattern, so the check applies
+    assert _both(r"a{bad", "xx a{bad yy")
+    assert not _both(r"a{bad", "zzz")
+
+
+def test_unanchored_search_semantics():
+    # regexec searches anywhere in the string (not fullmatch)
+    assert _both("doc", "xx doc yy")
+    assert not _both("^doc", "xx doc")
