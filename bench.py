@@ -233,6 +233,30 @@ def run_scaling_worker(ncpu: int) -> dict:
             "rows_per_sec": round(rows / total, 1)}
 
 
+# Fixed CPU-bound work unit for the host-ceiling calibration: pure numpy,
+# no Ray, no IO.  One unit ~1.5 s on an idle core of this host.
+_BURN_SNIPPET = (
+    "import numpy as np\n"
+    "rng = np.random.default_rng(0)\n"
+    "a = rng.standard_normal((600, 600))\n"
+    "for _ in range(110):\n"
+    "    a = np.tanh(a @ a.T / 600.0)\n"
+)
+
+
+def _burn_throughput(k: int) -> float:
+    """Work units per second with k concurrent pure-CPU processes — the
+    host's ACTUAL parallel capacity at this instant (a shared VM drifts)."""
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")   # one core per process, like Ray workers
+    procs = [subprocess.Popen([sys.executable, "-c", _BURN_SNIPPET], env=env)
+             for _ in range(k)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.wait()
+    return k / (time.perf_counter() - t0)
+
+
 def run_scaling() -> dict:
     """The flagship composite at N and 4N CPUs in fresh processes on the
     same input (the sandbox has no real multi-node cluster; parallelism
@@ -242,16 +266,27 @@ def run_scaling() -> dict:
     minimum is reported: this shared VM drifts on minute timescales, so
     running all of one level then all of the other would let drift
     masquerade as (anti-)scaling; interleaving exposes both levels to the
-    same conditions and min-of-reps is the low-noise estimator."""
+    same conditions and min-of-reps is the low-noise estimator.
+
+    Each rep ALSO measures the host ceiling with a pure-CPU burn test at
+    both levels (no Ray, no engine code): `host_efficiency` is the best
+    any software could scale on this VM at that moment, and
+    `normalized_efficiency` = engine / host is the engine's own scaling
+    with the shared-VM ceiling factored out — the per-run quantification
+    of the host ceiling."""
     import statistics
 
     reps = int(os.environ.get("JSV_SCALING_REPS", "3"))
     best: dict[int, dict] = {}
     per_rep_eff: list[float] = []
+    per_rep_host: list[float] = []
+    per_rep_norm: list[float] = []
     lo, hi = SCALING_CPUS
     for _ in range(reps):
         rep_t: dict[int, float] = {}
+        burn: dict[int, float] = {}
         for ncpu in SCALING_CPUS:
+            burn[ncpu] = _burn_throughput(ncpu)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-worker", str(ncpu)],
@@ -260,7 +295,11 @@ def run_scaling() -> dict:
             rep_t[ncpu] = r["total_sec"]
             if ncpu not in best or r["total_sec"] < best[ncpu]["total_sec"]:
                 best[ncpu] = r
-        per_rep_eff.append(round((rep_t[lo] / rep_t[hi]) / (hi / lo), 3))
+        eff = (rep_t[lo] / rep_t[hi]) / (hi / lo)
+        host = (burn[hi] / burn[lo]) / (hi / lo)
+        per_rep_eff.append(round(eff, 3))
+        per_rep_host.append(round(host, 3))
+        per_rep_norm.append(round(min(1.0, eff / host) if host > 0 else 0.0, 3))
     t_lo, t_hi = best[lo]["total_sec"], best[hi]["total_sec"]
     eff_best = (t_lo / t_hi) / (hi / lo)
     return {
@@ -272,6 +311,10 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff_best, 3),
         "scaling_efficiency_per_rep": per_rep_eff,
         "scaling_efficiency_median": round(statistics.median(per_rep_eff), 3),
+        "host_efficiency_per_rep": per_rep_host,
+        "host_efficiency_median": round(statistics.median(per_rep_host), 3),
+        "normalized_efficiency_per_rep": per_rep_norm,
+        "normalized_efficiency_median": round(statistics.median(per_rep_norm), 3),
         "reps": reps,
         "tokens_rows": SCALING_ROWS,
     }

@@ -37,6 +37,19 @@ def _default_concurrency() -> int:
     return max(2, cpus - 2)
 
 
+def _sig_partitions(ds, rows_per_part: int = 1000) -> int:
+    """Partition count for the signature stages, derived from input size and
+    capped at 2x the worker count: enough blocks to keep every core busy, but
+    never so many tiny blocks that the downstream groupby/semi-join
+    all-to-alls pay per-block scheduling that dwarfs the work (measured 3x
+    on small inputs).  ds.count() on parquet reads metadata only."""
+    try:
+        rows = ds.count()
+    except Exception:
+        return _default_concurrency() * 2
+    return max(4, min(_default_concurrency() * 2, -(-rows // rows_per_part)))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -115,6 +128,21 @@ def _crowded_keys_dataset(rows, key: str):
         batch_format="pyarrow")
 
 
+def _group_by_key_buckets(rows, key: str, n_buckets: int = 64):
+    """``rows.groupby(hash(key) % n_buckets)`` — the coarse-bucket reduce for
+    key spaces with MANY tiny groups: per-group map_groups pays ~ms of
+    scheduling per group, so the reduce hashes keys into ``n_buckets`` coarse
+    groups (all rows of one key land in one bucket, stable hash) and the
+    caller's function does a vectorized pandas pass over its whole bucket."""
+    from ..state.sketches import _hash64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = (_hash64(b[key]) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("gbucket", pa.array(h))
+
+    return rows.map_batches(add_bucket, batch_format="pyarrow").groupby("gbucket")
+
+
 def _semi_join_crowded(rows, key: str,
                        broadcast_limit: int = BROADCAST_KEY_LIMIT,
                        key_rows=None):
@@ -129,10 +157,15 @@ def _semi_join_crowded(rows, key: str,
 
     ``key_rows``: optionally count crowdedness on a lighter projection
     (e.g. key-only rows) while filtering the full ``rows``.
-    Returns None when no key is crowded (caller emits its empty frame)."""
+    Returns None when no key is crowded (caller emits its empty frame).
+
+    The crowded-key set is materialized (it is the SMALL side — one row per
+    crowded key) so the count / take / join below do not re-execute the
+    upstream pipeline once per consumption."""
     import ray
 
-    crowded = _crowded_keys_dataset(rows if key_rows is None else key_rows, key)
+    crowded = _crowded_keys_dataset(rows if key_rows is None else key_rows,
+                                    key).materialize()
     n_crowded = crowded.count()
     if n_crowded == 0:
         return None
@@ -158,44 +191,49 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
 
     Two cheap passes instead of one expensive one: (1) vectorized
     groupby-count over (band_key, id) rows finds the crowded buckets —
-    almost all buckets are singletons, so per-bucket Python (map_groups)
-    would dominate; (2) a semi-join keeps only crowded-bucket rows (a tiny
-    fraction) — broadcast filter when the crowded set is driver-sized,
-    distributed hash join above BROADCAST_KEY_LIMIT (never truncated) —
-    and only THOSE go through per-group assembly."""
-    # single-file inputs arrive as ONE block: split first so the
-    # signature stage (the expensive part) actually parallelizes
-    sigs = ds.repartition(_default_concurrency() * 2).map_batches(
+    the (id, band_id, band_key) rows carry NO text payload (~30 B/row), so
+    the cheapest plan is ONE all-to-all: hash band keys into coarse buckets,
+    groupby the bucket, and filter crowded groups with a vectorized pandas
+    pass inside each bucket.  (minhash_dup_pairs, whose shuffle rows carry
+    the text, keeps the semi-join prune that this path doesn't need —
+    pruning here would add a second, key-only shuffle of the same order.)"""
+    band_cols = [id_column] + [f"band_{j}" for j in range(bands)]
+    sigs = ds.repartition(_sig_partitions(ds)).map_batches(
         cached_stage(MinHasher, text_column=text_column, num_perm=num_perm,
                      bands=bands, n_shingle=n_shingle),
-        batch_format="pyarrow")
+        batch_format="pyarrow").map_batches(
+        lambda b: b.select(band_cols), batch_format="pyarrow")
     exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, id_column), batch_format="pyarrow")
 
-    survivors = _semi_join_crowded(exploded, "band_key")
-    if survivors is None:
-        import pandas as pd
-        import ray.data as rd
-        return rd.from_pandas(pd.DataFrame(
-            {"band_id": pd.Series([], dtype="int32"),
-             "band_key": pd.Series([], dtype="int64"),
-             "n_docs": pd.Series([], dtype="int64"),
-             "doc_ids": pd.Series([], dtype=object)}))
+    # coarse-bucket reduce, NOT per-(band_id,band_key) map_groups: thousands
+    # of tiny groups pay ~ms of scheduling each; 64 coarse buckets do one
+    # vectorized pandas groupby-agg per bucket.  Output is built as an ARROW
+    # table — returning pandas from map_groups hits a pathological
+    # per-group block conversion in Ray (measured 17x slower).
+    def assemble(g):
+        empty = pa.table(
+            {"band_id": pa.array([], type=pa.int32()),
+             "band_key": pa.array([], type=pa.int64()),
+             "n_docs": pa.array([], type=pa.int64()),
+             "doc_ids": pa.array([], type=pa.list_(pa.string()))})
+        if len(g) == 0:
+            return empty
+        sizes = g.groupby(["band_id", "band_key"])[id_column].transform("size")
+        g = g[sizes > 1]
+        if len(g) == 0:
+            return empty
+        gg = (g.groupby(["band_id", "band_key"])[id_column]
+               .agg(lambda s: sorted(map(str, s))).reset_index())
+        return pa.table({
+            "band_id": pa.array(gg["band_id"], type=pa.int32()),
+            "band_key": pa.array(gg["band_key"], type=pa.int64()),
+            "n_docs": pa.array([len(x) for x in gg[id_column]], type=pa.int64()),
+            "doc_ids": pa.array(gg[id_column].tolist(),
+                                type=pa.list_(pa.string()))})
 
-    def bucket_group(g):
-        import pandas as pd
-        if len(g) < 2:
-            return pd.DataFrame({"band_id": [], "band_key": [], "n_docs": [],
-                                 "doc_ids": []})
-        return pd.DataFrame({
-            "band_id": [g["band_id"].iloc[0]],
-            "band_key": [g["band_key"].iloc[0]],
-            "n_docs": [len(g)],
-            "doc_ids": [sorted(map(str, g[id_column].tolist()))],
-        })
-
-    return survivors.groupby(["band_id", "band_key"]).map_groups(
-        bucket_group, batch_format="pandas")
+    return _group_by_key_buckets(exploded, "band_key").map_groups(
+        assemble, batch_format="pandas")
 
 
 def jaccard(a: str, b: str, n_shingle: int = 3) -> float:
@@ -217,10 +255,14 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     and logged in the output as bucket_truncated rows)."""
     texts = ds.map_batches(
         lambda b: b.select([id_column, text_column]), batch_format="pyarrow")
-    sigs = texts.repartition(_default_concurrency() * 2).map_batches(
+    # materialized: both the crowded-key count and the verify groupby consume
+    # the signatures; pinning (text x1 + band keys) avoids re-running MinHash
+    # per consumer (the exploded x16-bands form stays lazy and is re-derived
+    # cheaply from the pinned signatures)
+    sigs = texts.repartition(_sig_partitions(ds)).map_batches(
         cached_stage(MinHasher, text_column=text_column, num_perm=num_perm,
                      bands=bands, n_shingle=n_shingle),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     n = bands
 
@@ -255,29 +297,41 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
 
-    def verify(g):
-        import pandas as pd
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = g.sort_values(id_column).head(max_bucket)
-        ids = g[id_column].astype(str).tolist()
-        txts = g[text_column].tolist()
+    # coarse-bucket reduce (see _group_by_key_buckets): one task verifies all
+    # its (band_id, band_key) groups with an in-process loop instead of one
+    # map_groups dispatch per bucket
+    def verify_bucket(g):
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = jaccard(txts[i] or "", txts[j] or "", n_shingle)
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], round(jac, 4)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        for _, grp in g.groupby(["band_id", "band_key"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_column).head(max_bucket)
+            ids = grp[id_column].astype(str).tolist()
+            txts = grp[text_column].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    jac = jaccard(txts[i] or "", txts[j] or "", n_shingle)
+                    if jac >= threshold:
+                        rows.append((ids[i], ids[j], round(jac, 4)))
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
 
-    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
-        verify, batch_format="pandas")
+    pairs = _group_by_key_buckets(exploded, "band_key").map_groups(
+        verify_bucket, batch_format="pandas")
 
-    # a pair can surface from several bands: dedup on (id_a, id_b)
-    def dedup_pairs(g):
-        return g.head(1)
+    # a pair can surface from several bands: dedup on (id_a, id_b) — same
+    # coarse-bucket pattern (a pair's rows share id_a, hence one bucket)
+    def dedup_bucket(g):
+        g = g.drop_duplicates(["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(g["id_a"], type=pa.string()),
+            "id_b": pa.array(g["id_b"], type=pa.string()),
+            "jaccard": pa.array(g["jaccard"], type=pa.float64())})
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return _group_by_key_buckets(pairs, "id_a").map_groups(
+        dedup_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -288,11 +342,12 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
     """SimHash near-dup buckets: identical-simhash groups with >1 doc.
     (Banded Hamming-distance search uses the same groupby with 16-bit band
     keys — simhash >> k masks — as the scale path.)"""
-    sigs = ds.repartition(_default_concurrency() * 2).map_batches(
+    sigs = ds.repartition(_sig_partitions(ds)).map_batches(
         cached_stage(SimHasher, text_column=text_column),
         batch_format="pyarrow")
+    # materialized (id, simhash) projection: counted and grouped below
     proj = sigs.map_batches(lambda b: b.select([id_column, "simhash"]),
-                            batch_format="pyarrow")
+                            batch_format="pyarrow").materialize()
 
     # vectorized count + semi-join prune (same pattern as the LSH path;
     # broadcast or distributed join by crowded-set size, never truncated)
@@ -305,17 +360,25 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
              "n_docs": pd.Series([], dtype="int64"),
              "doc_ids": pd.Series([], dtype=object)}))
 
-    def group(g):
-        import pandas as pd
-        if len(g) < 2:
-            return pd.DataFrame({"simhash": [], "n_docs": [], "doc_ids": []})
-        return pd.DataFrame({
-            "simhash": [int(g["simhash"].iloc[0])],
-            "n_docs": [len(g)],
-            "doc_ids": [sorted(map(str, g[id_column].tolist()))],
-        })
+    # coarse-bucket reduce (see _group_by_key_buckets); ARROW output (pandas
+    # returns from map_groups pay a 17x block-conversion penalty)
+    def assemble(g):
+        sizes = g.groupby("simhash")[id_column].transform("size")
+        g = g[sizes > 1]
+        if len(g) == 0:
+            return pa.table({"simhash": pa.array([], type=pa.int64()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "doc_ids": pa.array([], type=pa.list_(pa.string()))})
+        gg = (g.groupby("simhash")[id_column]
+               .agg(lambda s: sorted(map(str, s))).reset_index())
+        return pa.table({
+            "simhash": pa.array(gg["simhash"], type=pa.int64()),
+            "n_docs": pa.array([len(x) for x in gg[id_column]], type=pa.int64()),
+            "doc_ids": pa.array(gg[id_column].tolist(),
+                                type=pa.list_(pa.string()))})
 
-    return proj.groupby("simhash").map_groups(group, batch_format="pandas")
+    return _group_by_key_buckets(proj, "simhash").map_groups(
+        assemble, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +405,16 @@ def _pairs_from_sims(ids_a, ids_b, sims: np.ndarray, threshold: float,
         cs.append(round(float(sims[i, j]), 5))
     return ia, ib, cs
 
+
+
+def _pair_table(g, id_column: str, ia, ib, cs, value_name: str) -> pa.Table:
+    """Arrow pair-table output for map_groups (pandas returns pay a 17x
+    block-conversion penalty in Ray).  Id arrow type derived from the group's
+    id column so every bucket emits an identical schema."""
+    idt = pa.Array.from_pandas(g[id_column].head(1)).type if len(g) else pa.string()
+    return pa.table({"id_a": pa.array(ia, type=idt),
+                     "id_b": pa.array(ib, type=idt),
+                     value_name: pa.array(cs, type=pa.float64())})
 
 def embedding_cosine_pairs(ds, id_column: str = "vec_id",
                            vec_column: str = "embedding",
@@ -385,7 +458,6 @@ def embedding_cosine_pairs(ds, id_column: str = "vec_id",
             "pair_key", pa.array(np.concatenate(keys), type=pa.int64()))
 
     def pair_group(g):
-        import pandas as pd
         key = int(g["pair_key"].iloc[0])
         i, j = divmod(key, B)
         vecs = np.array(g[vec_column].tolist(), dtype=np.float32)
@@ -402,10 +474,10 @@ def embedding_cosine_pairs(ds, id_column: str = "vec_id",
             ids_a = [x for x, m in zip(ids, ga) if m]
             ids_b = [x for x, m in zip(ids, ga) if not m]
             if not len(a) or not len(b):
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+                return _pair_table(g, id_column, [], [], [], "cosine")
             sims = a @ b.T
             ia, ib, cs = _pairs_from_sims(ids_a, ids_b, sims, threshold, False)
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+        return _pair_table(g, id_column, ia, ib, cs, "cosine")
 
     exploded = ds.map_batches(explode_to_block_pairs, batch_format="pyarrow")
     return exploded.groupby("pair_key").map_groups(pair_group,
@@ -446,7 +518,6 @@ def embedding_srp_pairs(ds, id_column: str = "vec_id",
         return t.append_column("srp_bucket", pa.array(sig, type=pa.int64()))
 
     def pair_group(g):
-        import pandas as pd
         vecs = np.array(g[vec_column].tolist(), dtype=np.float32)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -454,7 +525,7 @@ def embedding_srp_pairs(ds, id_column: str = "vec_id",
         ids = g[id_column].tolist()
         sims = vecs @ vecs.T
         ia, ib, cs = _pairs_from_sims(ids, ids, sims, threshold, True)
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+        return _pair_table(g, id_column, ia, ib, cs, "cosine")
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
              .groupby("srp_bucket").map_groups(pair_group, batch_format="pandas")

@@ -880,18 +880,22 @@ def q_asof_join_clicks_errors(sf_dir: str):
     bucketize = _user_bucket_fn(n_buckets)
 
     def asof(g):
-        # vectorized multi-user as-of inside the bucket: merge_asof(by=user)
+        # vectorized multi-user as-of inside the bucket: merge_asof(by=user);
+        # ARROW output (pandas map_groups returns pay a 17x block conversion)
         import pandas as pd
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "last_error_ts": pa.array([], type=pa.timestamp("us"))})
         clicks = g[g["event_type"] == "click"].sort_values("ts")
         errors = g[g["event_type"] == "error"].sort_values("ts")
         if len(clicks) == 0 or len(errors) == 0:
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "last_error_ts": pd.Series([], dtype="datetime64[us]")})
+            return empty
         m = pd.merge_asof(clicks[["event_id", "ts", "user_id"]],
                           errors[["ts", "user_id"]].assign(last_error_ts=errors["ts"]),
                           on="ts", by="user_id", direction="backward")
         m = m.dropna(subset=["last_error_ts"])
-        return m[["event_id", "last_error_ts"]]
+        return pa.table({
+            "event_id": pa.array(m["event_id"], type=pa.int64()),
+            "last_error_ts": pa.Array.from_pandas(m["last_error_ts"]).cast(pa.timestamp("us"))})
 
     return (two.map_batches(bucketize, batch_format="pyarrow")
                .groupby("bucket").map_groups(asof, batch_format="pandas"))
@@ -1016,13 +1020,16 @@ def q_sessions_per_user(sf_dir: str):
     bucketize = _user_bucket_fn(_window_buckets(ds.count()))
 
     def sessions(g):
+        # ARROW output (pandas map_groups returns pay a 17x block conversion)
         import pandas as pd
         g = g.sort_values(["user_id", "ts"])
         new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
         start = new_user | gap
         out = start.groupby(g["user_id"]).sum().astype("int64")
-        return pd.DataFrame({"user_id": out.index, "n_sessions": out.values})
+        return pa.table({
+            "user_id": pa.Array.from_pandas(out.index.to_series().reset_index(drop=True)),
+            "n_sessions": pa.array(out.values, type=pa.int64())})
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby("bucket").map_groups(sessions, batch_format="pandas"))

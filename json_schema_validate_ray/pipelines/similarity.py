@@ -82,10 +82,14 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      vec_column=vec_column, k=k),
         batch_format="pyarrow")
 
-    # final prune: per-query top-k over the (tiny) union of batch top-ks
+    # final prune: per-query top-k over the (tiny) union of batch top-ks;
+    # ARROW output (pandas map_groups returns pay a 17x block conversion)
     def prune(g):
         g = g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
-        return g
+        return pa.table({
+            "query_id": pa.array(g["query_id"], type=pa.int32()),
+            id_column: pa.Array.from_pandas(g[id_column]),
+            "cosine": pa.array(g["cosine"], type=pa.float64())})
 
     return partial.groupby("query_id").map_groups(prune, batch_format="pandas")
 
@@ -145,6 +149,10 @@ def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
         batch_format="pyarrow")
 
     def prune(g):
-        return g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+        g = g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"], type=pa.int32()),
+            id_column: pa.Array.from_pandas(g[id_column]),
+            "cosine": pa.array(g["cosine"], type=pa.float64())})
 
     return partial.groupby("query_id").map_groups(prune, batch_format="pandas")
