@@ -575,6 +575,22 @@ FROM t
 """
 
 
+def q_normalize_text_documents(sf_dir: str):
+    """Text canonicalization (lowercase, whitespace collapse, strip) —
+    zero-copy Arrow kernels, no Python in the hot path."""
+    from ..stages.text import TextNormalizer
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(TextNormalizer(), batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["doc_id", "text_norm"]),
+                     batch_format="pyarrow")
+
+
+SQL_NORMALIZE_TEXT_DOCUMENTS = r"""
+SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_norm
+FROM documents
+"""
+
+
 def q_fingerprint_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.repartition(_conc() * 2).map_batches(
@@ -805,6 +821,32 @@ GROUP BY c_nationkey
 """
 
 
+def q_union_orderkeys(sf_dir: str):
+    """Dataset.union coverage: orders ∪ lineitem order keys, grouped count
+    per source — union is a metadata concat (no shuffle), the groupby is the
+    only exchange and runs on a 2-value key."""
+    from ray.data.aggregate import Count
+    rd = _rd()
+    o = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"]) \
+        .map_batches(lambda b: pa.table({
+            "side": pa.array(["orders"] * b.num_rows, type=pa.string())}),
+            batch_format="pyarrow")
+    l = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"]) \
+        .map_batches(lambda b: pa.table({
+            "side": pa.array(["lineitem"] * b.num_rows, type=pa.string())}),
+            batch_format="pyarrow")
+    return o.union(l).groupby("side").aggregate(Count(alias_name="n_rows"))
+
+
+SQL_UNION_ORDERKEYS = """
+SELECT side, count(*) AS n_rows FROM (
+  SELECT 'orders' AS side FROM orders
+  UNION ALL
+  SELECT 'lineitem' AS side FROM lineitem
+) GROUP BY side
+"""
+
+
 def q_broadcast_join_region(sf_dir: str):
     """Broadcast chain join: customer -> nation -> region via two ray.put
     dimension maps, counted per region name (no shuffle at all)."""
@@ -1005,6 +1047,42 @@ SQL_TUMBLING_DAILY_EVENTS = """
 SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY day
+"""
+
+
+def q_sliding_weekly_events(sf_dir: str):
+    """Sliding-window aggregate (7-day window ending at each active day):
+    the heavy reduction is the DISTRIBUTED tumbling daily count; the sliding
+    sum then runs over the tiny per-day table in one vectorized pass
+    (searchsorted over day ordinals — value-range window, so calendar gaps
+    are respected like SQL RANGE frames)."""
+    from ray.data.aggregate import Count
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    daily = ds.map_batches(
+        lambda b: pa.table({"day": pc.floor_temporal(b["ts"], unit="day")}),
+        batch_format="pyarrow").groupby("day").aggregate(
+        Count(alias_name="n"))
+    tbl = pa.Table.from_pylist(daily.take_all())   # one row per active day
+    days = np.array(tbl["day"].to_pylist(), dtype="datetime64[us]")
+    order = np.argsort(days)
+    days, counts = days[order], np.asarray(tbl["n"].to_pylist(), dtype=np.int64)[order]
+    day_ord = days.astype("datetime64[D]").astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    lo = np.searchsorted(day_ord, day_ord - 6, side="left")
+    n_7d = cum[np.arange(1, len(day_ord) + 1)] - cum[lo]
+    return pa.table({"day": pa.array(days, type=pa.timestamp("us")),
+                     "n_7d": pa.array(n_7d, type=pa.int64())})
+
+
+SQL_SLIDING_WEEKLY_EVENTS = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY day)
+SELECT day,
+       sum(n) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+         AS n_7d
+FROM d
 """
 
 
@@ -1310,6 +1388,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_verified_pairs": (q_minhash_verified_pairs, SQL_MINHASH_VERIFIED_PAIRS),
     "stopword_stats": (q_stopword_stats, SQL_STOPWORD_STATS),
     "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
+    "normalize_text_documents": (q_normalize_text_documents, SQL_NORMALIZE_TEXT_DOCUMENTS),
     "lang_id_agreement": (q_lang_id_accuracy, SQL_LANG_ID_AGREEMENT),
     # dedup
     "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP_DOCUMENTS),
@@ -1325,12 +1404,14 @@ REGISTRY: dict[str, tuple] = {
     # joins
     "join_orders_customers": (q_join_orders_customers, SQL_JOIN_ORDERS_CUSTOMERS),
     "broadcast_join_region": (q_broadcast_join_region, SQL_BROADCAST_JOIN_REGION),
+    "union_orderkeys": (q_union_orderkeys, SQL_UNION_ORDERKEYS),
     "asof_join_clicks_errors": (q_asof_join_clicks_errors, SQL_ASOF_JOIN_CLICKS_ERRORS),
     "quantiles_events_value": (q_quantiles_events_value, SQL_QUANTILES_EVENTS_VALUE),
     # events grouped/windowed
     "events_per_user": (q_events_per_user, SQL_EVENTS_PER_USER),
     "sessions_per_user": (q_sessions_per_user, SQL_SESSIONS_PER_USER),
     "tumbling_daily_events": (q_tumbling_daily_events, SQL_TUMBLING_DAILY_EVENTS),
+    "sliding_weekly_events": (q_sliding_weekly_events, SQL_SLIDING_WEEKLY_EVENTS),
     # multimodal plumbing
     "multimodal_payload_stats": (q_multimodal_payload_stats, SQL_MULTIMODAL_PAYLOAD_STATS),
     # flagship tokens pipelines (deterministic synthesized input; the oracle

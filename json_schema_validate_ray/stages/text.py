@@ -42,6 +42,26 @@ def token_count_batch(texts: list) -> np.ndarray:
                     dtype=np.int64)
 
 
+class TextNormalizer:
+    """Appends ``text_norm``: lowercase, whitespace runs collapsed to one
+    space, stripped — the standard pre-dedup canonicalization.  Fully
+    vectorized Arrow kernels (utf8_lower + replace_substring_regex +
+    utf8_trim_whitespace); matches the SQL oracle
+    ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``."""
+
+    def __init__(self, text_column: str = "text", out_column: str = "text_norm"):
+        self.text_column = text_column
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        arr = batch[self.text_column]
+        norm = pc.utf8_lower(
+            pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(arr, r"\s+", " ")))
+        return batch.append_column(self.out_column, norm)
+
+
 class TokenCounter:
     """Appends ``n_tokens`` (whitespace) and ``n_bpe_ish`` (a BPE-ish regex
     token count: word pieces + digits + punctuation runs)."""

@@ -72,7 +72,8 @@ _CONTAINS_KEYWORDS = {"type", "minimum", "maximum", "exclusiveMinimum",
 # anything else (patternProperties, propertyNames, schema-form
 # additionalProperties, ...) drops the column to the per-row evaluator.
 _OBJECT_KEYWORDS = {"type", "enum", "const", "properties", "required",
-                    "minProperties", "maxProperties", "additionalProperties"}
+                    "minProperties", "maxProperties", "additionalProperties",
+                    "propertyNames"}
 
 
 def _strip_struct_nones(v):
@@ -240,9 +241,12 @@ class ColumnCheckPlan:
         vectorizable iff every keyword and every field subschema is."""
         keys = set(s.keys())
         if not keys & {"properties", "required", "minProperties",
-                       "maxProperties", "additionalProperties"}:
+                       "maxProperties", "additionalProperties",
+                       "propertyNames"}:
             return False
         if not keys <= _OBJECT_KEYWORDS:
+            return False
+        if "propertyNames" in s and not isinstance(s["propertyNames"], (dict, bool)):
             return False
         if "additionalProperties" in s and not isinstance(s["additionalProperties"], bool):
             return False   # schema-form additionalProperties -> row fallback
@@ -479,6 +483,25 @@ class ColumnCheckPlan:
                     f"{col}/{name}/required", bad,
                     lambda i, c=name: (col, f"Missing required property: {c}",
                                        "null")))
+
+        pn = s.get("propertyNames")
+        if isinstance(pn, (dict, bool)):
+            # struct field NAMES are fixed per type: validate each name ONCE
+            # (parity evaluator on the string), then flag rows where a
+            # bad-named field is present — per-row work stays vectorized
+            # (check_property_names, json_schema_validate.c:842-882)
+            name_eval = Evaluator(jsonschema_compile(pn))
+            for f in field_names:
+                errs: list = []
+                if not name_eval._validate(f, pn, f"{col}/{f}", errs, pn):
+                    bad = notnull & _np_bool(pc.is_valid(pc.struct_field(arr, f)))
+                    if bad.any():
+                        first = errs[0] if errs else {
+                            "path": f"{col}/{f}", "message": "invalid property name"}
+                        out.append(ColumnViolation(
+                            f"{col}/{f}/propertyNames", bad,
+                            lambda i, _p=first["path"], _m=first["message"], _f=f:
+                            (_p, _m, json.dumps(_f))))
 
         for name, child_plan in (self._children or {}).items():
             if name not in field_names:

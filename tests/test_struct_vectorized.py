@@ -167,3 +167,28 @@ def test_struct_differential(schema, rows):
     plan = TablePlan(schema, id_column="s")
     valid, _ = plan.evaluate_batch(batch)
     assert list(valid) == _oracle(schema, batch)
+
+
+def test_property_names_vectorized():
+    schema = {"type": "object", "properties": {
+        "s": {"properties": {"ok": {"type": "integer"}},
+              "propertyNames": {"maxLength": 3}}}}
+    plan = TablePlan(schema, id_column="s")
+    assert plan.columns[0].vectorized
+    batch = pa.table({"s": pa.array([
+        {"ok": 1, "toolong": None},   # bad name absent -> valid
+        {"ok": 1, "toolong": 5},      # bad name present -> invalid
+        None,
+    ])})
+    valid = _check(schema, batch)
+    assert list(valid) == [True, False, True]
+
+
+def test_property_names_boolean_schema():
+    schema = {"type": "object", "properties": {
+        "s": {"properties": {"a": {"type": "integer"}},
+              "propertyNames": False}}}
+    batch = pa.table({"s": pa.array([{"a": 1}, {"a": None}, None])})
+    valid = _check(schema, batch)
+    # any present field fails propertyNames=false
+    assert list(valid) == [False, True, True]
