@@ -62,6 +62,14 @@ def run_bench() -> dict:
     # warm the page cache so we measure compute + shuffle, not first disk read
     rd.read_parquet(tokens_dir).count()
 
+    # untimed warm-up validation over ONE partition file: spins up the worker
+    # pool and imports the engine modules in them — session cold-start is not
+    # the quantity the headline measures (steady-state throughput is)
+    import glob as _glob
+    first_file = sorted(_glob.glob(os.path.join(tokens_dir, "*.parquet")))[0]
+    validate_dataset(rd.read_parquet(first_file)).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow").count()
+
     timings: dict[str, float] = {}
 
     def timed(name, fn):
@@ -73,7 +81,7 @@ def run_bench() -> dict:
     # sequences validated/sec)
     def tokens_validate():
         ds = rd.read_parquet(tokens_dir)
-        verdicts = validate_dataset(ds, batch_size=8192)
+        verdicts = validate_dataset(ds)   # default batch_size (32768, swept)
         # consume as a stream: count invalid without materializing rows
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -125,8 +133,7 @@ def run_bench() -> dict:
 
         ds = rd.range(n_rows, override_num_blocks=32).map_batches(
             gen, batch_format="pyarrow")
-        verdicts = validate_dataset(ds, schema=schema, cross_checks=(),
-                                    batch_size=8192)
+        verdicts = validate_dataset(ds, schema=schema, cross_checks=())
         import pyarrow.compute as pc
         agg = verdicts.map_batches(
             lambda b: pa.table({"n": pa.array([b.num_rows])}),

@@ -67,7 +67,7 @@ def _cached_annotator(key: bytes, make):
 
 
 def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
-                     id_column: str = "doc_id", batch_size: int = 8192,
+                     id_column: str = "doc_id", batch_size: int = 32768,
                      concurrency=None, compute: str = "tasks"):
     """Lazy verdict dataset: input columns are pruned to the id and the
     verdict columns; violations ride along as a JSON column (single pass).
@@ -290,7 +290,7 @@ class _SuitePartial:
 
 
 def full_report(input_path: str, schema=TOKENS_SCHEMA,
-                batch_size: int = 16384, cross_checks=None) -> dict:
+                batch_size: int = 32768, cross_checks=None) -> dict:
     """Flagship report over an input directory in TWO scans total:
     scan 1 (fused) = validation verdicts + column stats + NDV sketches;
     scan 2 = exact doc_id uniqueness (needs its hash-partitioned shuffle).
