@@ -214,3 +214,50 @@ def test_unique_items_duplicate_nulls_string_column():
     batch = pa.table({"a": [["x", None, None], ["x", None], ["x", "x"]]})
     valid = _check(schema, batch)
     assert list(valid) == [False, True, False]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis differential over the enum/const dtype matrix (the round-1 bug
+# area): every (column dtype x entry type) combination must match the
+# corpus-verified evaluator
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_entry = st.one_of(
+    st.integers(-3, 3), st.floats(allow_nan=False, allow_infinity=False,
+                                  min_value=-3, max_value=3),
+    st.booleans(), st.sampled_from(["", "a", "1", "2.0", "true"]),
+    st.none(), st.just([1]), st.just({"k": 1}))
+
+_int_col = st.lists(st.one_of(st.none(), st.integers(-3, 3)), min_size=1, max_size=8)
+_float_col = st.lists(st.one_of(st.none(), st.floats(allow_nan=False,
+                                                     allow_infinity=False,
+                                                     min_value=-3, max_value=3)),
+                      min_size=1, max_size=8)
+_bool_col = st.lists(st.one_of(st.none(), st.booleans()), min_size=1, max_size=8)
+_str_col = st.lists(st.one_of(st.none(), st.sampled_from(["", "a", "1", "2.0", "true"])),
+                    min_size=1, max_size=8)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.one_of(_int_col, _float_col, _bool_col, _str_col),
+       entries=st.lists(_entry, min_size=1, max_size=4),
+       use_const=st.booleans())
+def test_enum_const_dtype_matrix(data, entries, use_const):
+    import pyarrow as pa
+    from json_schema_validate_ray.functions.evaluator import Evaluator
+    sub = {"const": entries[0]} if use_const else {"enum": entries}
+    schema = {"type": "object", "properties": {"a": sub}}
+    batch = pa.table({"a": data})
+    plan = TablePlan(schema, id_column="a")
+    valid, _ = plan.evaluate_batch(batch)
+    ev = Evaluator(jsonschema_compile(schema))
+    for i, row in enumerate(batch.to_pylist()):
+        doc = {k: v for k, v in row.items() if v is not None}
+        expect = ev.validate_document(doc, None)
+        assert valid[i] == expect, (
+            f"{sub} on {data[i]!r} (col {batch['a'].type}): "
+            f"vectorized={bool(valid[i])} evaluator={expect}")
