@@ -119,13 +119,30 @@ BROADCAST_KEY_LIMIT = 2_000_000
 
 
 def _crowded_keys_dataset(rows, key: str):
-    """Keys held by >1 row: vectorized groupby-count then filter — NEVER a
-    per-bucket Python call over the (mostly singleton) buckets.  Returns a
-    Dataset of the crowded keys (one column, ``key``)."""
-    counts = rows.groupby(key).count()
-    return counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)).select([key]),
-        batch_format="pyarrow")
+    """Keys held by >1 row, via the combiner + coarse-bucket pattern: a
+    per-batch ``value_counts`` collapses within-batch repeats (bounding any
+    key's shuffle rows to #blocks), the bucket groupby merges partials, and
+    each bucket emits its crowded keys vectorized — no native
+    ``groupby(key).count()``, whose sort-based shuffle pays per-distinct-key
+    cost and ~2 s of fixed overhead on small inputs.  Returns a Dataset of
+    the crowded keys (one column, ``key``)."""
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b[key].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({key: vc.field("values"),
+                         "partial_count": vc.field("counts").cast(pa.int64())})
+
+    partials = rows.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g):
+        out = g.groupby(key, as_index=False)["partial_count"].sum()
+        out = out[out["partial_count"] > 1]
+        idt = pa.Array.from_pandas(g[key].head(1)).type
+        return pa.table({key: pa.array(out[key], type=idt)})
+
+    return _group_by_key_buckets(partials, key).map_groups(
+        merge, batch_format="pandas")
 
 
 def _group_by_key_buckets(rows, key: str, n_buckets: int = 64):
