@@ -145,13 +145,25 @@ def _crowded_keys_dataset(rows, key: str):
         merge, batch_format="pandas")
 
 
-def _group_by_key_buckets(rows, key: str, n_buckets: int = 64):
+def _group_by_key_buckets(rows, key: str, n_buckets: int = None,
+                          rows_estimate: int = None,
+                          target_rows: int = 250_000):
     """``rows.groupby(hash(key) % n_buckets)`` — the coarse-bucket reduce for
     key spaces with MANY tiny groups: per-group map_groups pays ~ms of
     scheduling per group, so the reduce hashes keys into ``n_buckets`` coarse
     groups (all rows of one key land in one bucket, stable hash) and the
-    caller's function does a vectorized pandas pass over its whole bucket."""
+    caller's function does a vectorized pandas pass over its whole bucket.
+
+    Bucket count is SIZE-DERIVED when the caller can estimate the row count
+    (``rows_estimate``, e.g. n_docs x bands from parquet metadata): one
+    bucket holds ~``target_rows`` rows in expectation, bounding per-group
+    pandas memory; the 8192 cap bounds scheduling (beyond it, per-group
+    memory grows with input — the documented partitioning assumption)."""
     from ..state.sketches import _hash64
+
+    if n_buckets is None:
+        n_buckets = (max(64, min(8192, -(-rows_estimate // target_rows)))
+                     if rows_estimate else 64)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         h = (_hash64(b[key]) % np.uint64(n_buckets)).astype(np.int32)
@@ -214,6 +226,10 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
     pass inside each bucket.  (minhash_dup_pairs, whose shuffle rows carry
     the text, keeps the semi-join prune that this path doesn't need —
     pruning here would add a second, key-only shuffle of the same order.)"""
+    try:
+        n_docs = ds.count()     # parquet metadata, no scan
+    except Exception:
+        n_docs = 0
     band_cols = [id_column] + [f"band_{j}" for j in range(bands)]
     sigs = ds.repartition(_sig_partitions(ds)).map_batches(
         cached_stage(MinHasher, text_column=text_column, num_perm=num_perm,
@@ -249,7 +265,8 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
             "doc_ids": pa.array(gg[id_column].tolist(),
                                 type=pa.list_(pa.string()))})
 
-    return _group_by_key_buckets(exploded, "band_key").map_groups(
+    return _group_by_key_buckets(exploded, "band_key",
+                                 rows_estimate=n_docs * bands or None).map_groups(
         assemble, batch_format="pandas")
 
 
@@ -270,6 +287,10 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     """Verified near-dup pairs: LSH candidates -> pairwise exact Jaccard
     within each bucket (bucket size capped; oversize buckets are truncated
     and logged in the output as bucket_truncated rows)."""
+    try:
+        n_docs = ds.count()     # parquet metadata, no scan
+    except Exception:
+        n_docs = 0
     texts = ds.map_batches(
         lambda b: b.select([id_column, text_column]), batch_format="pyarrow")
     # materialized: both the crowded-key count and the verify groupby consume
@@ -335,7 +356,8 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             "id_b": pa.array([r[1] for r in rows], type=pa.string()),
             "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
 
-    pairs = _group_by_key_buckets(exploded, "band_key").map_groups(
+    pairs = _group_by_key_buckets(exploded, "band_key",
+                                  rows_estimate=n_docs * bands or None).map_groups(
         verify_bucket, batch_format="pandas")
 
     # a pair can surface from several bands: dedup on (id_a, id_b) — same
@@ -362,6 +384,10 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
     sigs = ds.repartition(_sig_partitions(ds)).map_batches(
         cached_stage(SimHasher, text_column=text_column),
         batch_format="pyarrow")
+    try:
+        n_docs = ds.count()     # parquet metadata, no scan
+    except Exception:
+        n_docs = 0
     # materialized (id, simhash) projection: counted and grouped below
     proj = sigs.map_batches(lambda b: b.select([id_column, "simhash"]),
                             batch_format="pyarrow").materialize()
@@ -394,7 +420,8 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
             "doc_ids": pa.array(gg[id_column].tolist(),
                                 type=pa.list_(pa.string()))})
 
-    return _group_by_key_buckets(proj, "simhash").map_groups(
+    return _group_by_key_buckets(proj, "simhash",
+                                 rows_estimate=n_docs or None).map_groups(
         assemble, batch_format="pandas")
 
 
