@@ -99,18 +99,21 @@ def exact_dedup_summary(ds, text_column: str = "text", id_column: str = "doc_id"
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _explode_bands(batch: pa.Table, bands: int, id_column: str) -> pa.Table:
+def _explode_bands(batch: pa.Table, bands: int, id_column: str):
+    """GENERATOR udf: one yielded table per band — the x``bands`` expansion
+    streams out as separate blocks instead of one concat that holds the
+    whole multiple in the worker heap."""
     n = batch.num_rows
-    ids, band_ids, keys = [], [], []
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     for j in range(bands):
-        ids.append(batch[id_column])
-        band_ids.append(pa.array(np.full(n, j, dtype=np.int32)))
-        keys.append(batch[f"band_{j}"])
-    return pa.table({
-        id_column: pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in ids]),
-        "band_id": pa.concat_arrays([c for c in band_ids]),
-        "band_key": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in keys]),
-    })
+        k = batch[f"band_{j}"]
+        yield pa.table({
+            id_column: ids,
+            "band_id": pa.array(np.full(n, j, dtype=np.int32)),
+            "band_key": k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k,
+        })
 
 
 # Above this many crowded keys, the semi-join switches from a driver-side
@@ -304,21 +307,23 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
 
     n = bands
 
-    def explode_with_text(batch: pa.Table) -> pa.Table:
-        cols_id, cols_band, cols_key, cols_text = [], [], [], []
+    def explode_with_text(batch: pa.Table):
+        # GENERATOR udf: one yielded table per band — the text payload is
+        # never held x``bands`` in one worker heap (zero-copy column reuse
+        # across yields; Ray streams each into its own block)
         nn = batch.num_rows
+        ids = batch[id_column]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        txt = batch[text_column]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
         for j in range(n):
-            cols_id.append(batch[id_column].combine_chunks() if isinstance(batch[id_column], pa.ChunkedArray) else batch[id_column])
-            cols_text.append(batch[text_column].combine_chunks() if isinstance(batch[text_column], pa.ChunkedArray) else batch[text_column])
-            cols_band.append(pa.array(np.full(nn, j, dtype=np.int32)))
             k = batch[f"band_{j}"]
-            cols_key.append(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
-        return pa.table({
-            id_column: pa.concat_arrays(cols_id),
-            text_column: pa.concat_arrays(cols_text),
-            "band_id": pa.concat_arrays(cols_band),
-            "band_key": pa.concat_arrays(cols_key),
-        })
+            yield pa.table({
+                id_column: ids,
+                text_column: txt,
+                "band_id": pa.array(np.full(nn, j, dtype=np.int32)),
+                "band_key": k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k,
+            })
 
     exploded = sigs.map_batches(explode_with_text, batch_format="pyarrow")
 
@@ -485,21 +490,18 @@ def embedding_cosine_pairs(ds, id_column: str = "vec_id",
         n_blocks = max(1, -(-n // rows_per_block))
     B = int(n_blocks)
 
-    def explode_to_block_pairs(batch: pa.Table) -> pa.Table:
+    def explode_to_block_pairs(batch: pa.Table):
+        # GENERATOR udf: one yielded table per block-pair partner k — the
+        # xB expansion (B can be large at scale) streams out block by block
+        # instead of concat-holding B copies of the vectors in one heap
         t = batch.select([id_column, vec_column])
         blocks = (_hash64(t[id_column]) % np.uint64(B)).astype(np.int64)
-        parts, keys, blks = [], [], []
+        block_arr = pa.array(blocks, type=pa.int64())
         for k in range(B):
             i = np.minimum(blocks, k)
             j = np.maximum(blocks, k)
-            parts.append(t)
-            keys.append(i * B + j)
-            blks.append(blocks)
-        out = pa.concat_tables(parts)
-        return out.append_column(
-            "block", pa.array(np.concatenate(blks), type=pa.int64())
-        ).append_column(
-            "pair_key", pa.array(np.concatenate(keys), type=pa.int64()))
+            yield t.append_column("block", block_arr).append_column(
+                "pair_key", pa.array(i * B + j, type=pa.int64()))
 
     def pair_group(g):
         key = int(g["pair_key"].iloc[0])
