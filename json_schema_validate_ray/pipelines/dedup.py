@@ -554,8 +554,9 @@ def embedding_srp_pairs(ds, id_column: str = "vec_id",
     planes = rng.standard_normal((bits, dim)).astype(np.float32)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..pipelines.similarity import matrix_from_list_array
         t = batch.select([id_column, vec_column])
-        vecs = np.array(t[vec_column].to_pylist(), dtype=np.float32)
+        vecs = matrix_from_list_array(t[vec_column])
         if len(vecs) == 0:
             return t.append_column("srp_bucket", pa.array([], type=pa.int64()))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)

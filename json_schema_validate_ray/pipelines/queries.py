@@ -56,6 +56,17 @@ def _conc() -> int:
         cpus = 4
     return max(2, cpus - 2)
 
+
+def _parts_for(ds, rows_per_part: int = 1000) -> int:
+    """Size-derived partition count for per-doc text stages (see
+    dedup._sig_partitions): blocks for every core without scheduling-bound
+    tiny blocks.  ds.count() on parquet is metadata-only."""
+    try:
+        rows = ds.count()
+    except Exception:
+        return _conc() * 2
+    return max(2, min(_conc() * 2, -(-rows // rows_per_part)))
+
 def _rd():
     import ray.data as rd
     return rd
@@ -516,7 +527,7 @@ FROM j WHERE jac >= 0.5
 
 def q_token_counts_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.repartition(_conc() * 2).map_batches(
+    return ds.repartition(_parts_for(ds)).map_batches(
         cached_stage(TokenCounter, text_column="text"),
         batch_format="pyarrow").map_batches(
         lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
@@ -593,7 +604,7 @@ FROM documents
 
 def q_fingerprint_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.repartition(_conc() * 2).map_batches(
+    return ds.repartition(_parts_for(ds)).map_batches(
         cached_stage(Fingerprinter, text_column="text"),
         batch_format="pyarrow").map_batches(
         lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
@@ -610,7 +621,7 @@ def q_lang_id_accuracy(sf_dir: str):
     wins in en > de > fr > es order, Han codepoint -> zh)."""
     from ray.data.aggregate import Count
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    pred = ds.repartition(_conc() * 2).map_batches(
+    pred = ds.repartition(_parts_for(ds)).map_batches(
         cached_stage(LanguageId, text_column="text"),
         batch_format="pyarrow")
     out = pred.map_batches(

@@ -25,10 +25,41 @@ def _default_concurrency() -> int:
     return max(2, cpus - 2)
 
 
+def _scan_partitions(ds, rows_per_part: int = 2000) -> int:
+    """Size-derived partition count for the scan stages (see
+    dedup._sig_partitions): enough blocks for every core, never so many tiny
+    blocks that scheduling dominates.  ds.count() on parquet is metadata."""
+    try:
+        rows = ds.count()
+    except Exception:
+        return _default_concurrency() * 2
+    return max(2, min(_default_concurrency() * 2, -(-rows // rows_per_part)))
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
+
+
+def matrix_from_list_array(arr) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float32 numpy WITHOUT a Python
+    to_pylist round-trip: flatten (zero-copy) + reshape when rows are
+    rectangular and null-free; ragged/nullable columns fall back."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    if arr.null_count == 0:
+        lens = _pc.list_value_length(arr)
+        d = _pc.min(lens).as_py()
+        if d == _pc.max(lens).as_py():
+            flat = _pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+            return flat.astype(np.float32, copy=False).reshape(n, int(d))
+    return np.array(arr.to_pylist(), dtype=np.float32)
 
 
 class _TopKScanner:
@@ -45,7 +76,7 @@ class _TopKScanner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
-        vecs = np.array(batch[self.vec_column].to_pylist(), dtype=np.float32)
+        vecs = matrix_from_list_array(batch[self.vec_column])
         if len(vecs) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int32()),
                              self.id_column: pa.array([], type=pa.int64()),
@@ -77,7 +108,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     query_ref = ray.put(queries)
     # repartition: single-file corpora arrive as one block; cached tasks
     # avoid actor-pool startup (the scan itself is milliseconds)
-    partial = ds.repartition(_default_concurrency() * 2).map_batches(
+    partial = ds.repartition(_scan_partitions(ds)).map_batches(
         cached_stage(_TopKScanner, query_ref=query_ref, id_column=id_column,
                      vec_column=vec_column, k=k),
         batch_format="pyarrow")
@@ -119,7 +150,7 @@ class _SRPTopKScanner(_TopKScanner):
         self.probe = probe
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[self.vec_column].to_pylist(), dtype=np.float32)
+        vecs = matrix_from_list_array(batch[self.vec_column])
         if len(vecs) == 0:
             return super().__call__(batch)
         sig = srp_signature(_normalize(vecs), self.planes)
@@ -143,7 +174,7 @@ def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
 
     query_ref = ray.put(queries)
     planes_ref = ray.put(planes)
-    partial = ds.repartition(_default_concurrency() * 2).map_batches(
+    partial = ds.repartition(_scan_partitions(ds)).map_batches(
         cached_stage(_SRPTopKScanner, query_ref=query_ref, planes_ref=planes_ref,
                      id_column=id_column, vec_column=vec_column, k=k),
         batch_format="pyarrow")
