@@ -73,6 +73,46 @@ class MediaFeatureExtractor:
                                pa.array(feats, type=pa.list_(pa.float32()))))
 
 
+class MediaResizer:
+    """Actor-pool stage: decode (stub) -> nearest-neighbor resize to
+    ``(target_h, target_w)`` -> raw-pixel payload + updated metadata.  The
+    resize math (vectorized numpy index sampling) is real; only the decode
+    behind it is the environment-forced stub."""
+
+    def __init__(self, payload_column: str = "payload",
+                 target_h: int = 16, target_w: int = 16,
+                 use_fake_decode: bool = True):
+        self.payload_column = payload_column
+        self.target_h = target_h
+        self.target_w = target_w
+        self._decode = _fake_decode if use_fake_decode else _decode_image_real
+        # precomputed once per actor for the stub's fixed 8x8 decode shape;
+        # recomputed per image when shapes vary
+        self._cache: dict = {}
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
+        key = (h, w)
+        idx = self._cache.get(key)
+        if idx is None:
+            rows = (np.arange(self.target_h) * h // self.target_h)
+            cols = (np.arange(self.target_w) * w // self.target_w)
+            idx = (rows[:, None], cols[None, :])
+            self._cache[key] = idx
+        return px[idx[0], idx[1]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_column].to_pylist()
+        out = [self._resize(self._decode(p or b"")).tobytes() for p in payloads]
+        n = len(out)
+        return (batch
+                .drop_columns([c for c in ("width", "height")
+                               if c in batch.column_names])
+                .append_column("payload_resized", pa.array(out, type=pa.binary()))
+                .append_column("width", pa.array([self.target_w] * n, type=pa.int32()))
+                .append_column("height", pa.array([self.target_h] * n, type=pa.int32())))
+
+
 class FrameSampler:
     """Actor-pool stage for "video": samples ``n_frames`` deterministic fake
     frames per payload and emits one row per (media_id, frame_idx) —

@@ -191,3 +191,23 @@ def test_minhash_batch_signatures_identical():
     batch = mh.signatures(texts)
     per_doc = np.stack([MinHasher().signature(t) for t in texts])
     assert np.array_equal(batch, per_doc)
+
+
+def test_media_resizer_contract():
+    import numpy as np
+    import pyarrow as pa
+    from json_schema_validate_ray.stages.multimodal import (
+        MediaResizer, synth_media_batch, _fake_decode)
+    src = pa.table({"doc_id": ["1", "2"], "text": ["hello world", "abc"]})
+    media = synth_media_batch(src)
+    out = MediaResizer(target_h=16, target_w=16)(media)
+    assert out["width"].to_pylist() == [16, 16]
+    assert out["height"].to_pylist() == [16, 16]
+    for p, orig in zip(out["payload_resized"].to_pylist(),
+                       media["payload"].to_pylist()):
+        px = np.frombuffer(p, dtype=np.uint8).reshape(16, 16, 3)
+        # nearest-neighbor of the deterministic fake decode is reproducible
+        base = _fake_decode(orig)
+        rows = (np.arange(16) * base.shape[0] // 16)
+        cols = (np.arange(16) * base.shape[1] // 16)
+        assert np.array_equal(px, base[rows[:, None], cols[None, :]])
