@@ -439,10 +439,10 @@ def _pairs_from_sims(ids_a, ids_b, sims: np.ndarray, threshold: float,
     """(id_a, id_b, cosine) rows with id_a < id_b from a similarity matrix.
     ``same_block``: sims is square over one id list (skip self/symmetric)."""
     ia, ib, cs = [], [], []
+    ci, cj = np.nonzero(sims >= threshold)
     if same_block:
-        ci, cj = np.nonzero(np.triu(sims >= threshold, k=1))
-    else:
-        ci, cj = np.nonzero(sims >= threshold)
+        keep = cj > ci
+        ci, cj = ci[keep], cj[keep]
     for i, j in zip(ci, cj):
         a, b = ids_a[int(i)], ids_b[int(j)]
         if a == b:
@@ -455,14 +455,39 @@ def _pairs_from_sims(ids_a, ids_b, sims: np.ndarray, threshold: float,
     return ia, ib, cs
 
 
+def _pairs_chunked(ids_a, ids_b, va: np.ndarray, vb: np.ndarray,
+                   threshold: float, same_block: bool,
+                   chunk_rows: int = 1024):
+    """Tiled pair extraction: the (n_a, n_b) similarity matrix is never
+    materialized whole — one (chunk_rows, n_b) tile at a time, so per-group
+    memory is ~chunk_rows x n_b floats regardless of group size (a 25k-row
+    square group would otherwise allocate a 2.5 GB dense matrix)."""
+    ia, ib, cs = [], [], []
+    for s0 in range(0, len(va), chunk_rows):
+        tile = va[s0:s0 + chunk_rows] @ vb.T
+        ci, cj = np.nonzero(tile >= threshold)
+        if same_block:
+            keep = cj > (ci + s0)
+            ci, cj = ci[keep], cj[keep]
+        for i, j in zip(ci, cj):
+            a, b = ids_a[int(i) + s0], ids_b[int(j)]
+            if a == b:
+                continue
+            if b < a:
+                a, b = b, a
+            ia.append(a)
+            ib.append(b)
+            cs.append(round(float(tile[i, j]), 5))
+    return ia, ib, cs
 
-def _pair_table(g, id_column: str, ia, ib, cs, value_name: str) -> pa.Table:
+
+
+def _pair_table(id_type: pa.DataType, ia, ib, cs, value_name: str) -> pa.Table:
     """Arrow pair-table output for map_groups (pandas returns pay a 17x
-    block-conversion penalty in Ray).  Id arrow type derived from the group's
+    block-conversion penalty in Ray).  Id arrow type passed from the group's
     id column so every bucket emits an identical schema."""
-    idt = pa.Array.from_pandas(g[id_column].head(1)).type if len(g) else pa.string()
-    return pa.table({"id_a": pa.array(ia, type=idt),
-                     "id_b": pa.array(ib, type=idt),
+    return pa.table({"id_a": pa.array(ia, type=id_type),
+                     "id_b": pa.array(ib, type=id_type),
                      value_name: pa.array(cs, type=pa.float64())})
 
 def embedding_cosine_pairs(ds, id_column: str = "vec_id",
@@ -503,31 +528,37 @@ def embedding_cosine_pairs(ds, id_column: str = "vec_id",
             yield t.append_column("block", block_arr).append_column(
                 "pair_key", pa.array(i * B + j, type=pa.int64()))
 
-    def pair_group(g):
-        key = int(g["pair_key"].iloc[0])
+    def pair_group(g: pa.Table) -> pa.Table:
+        # ARROW group format: vectors decode zero-copy (flatten+reshape), no
+        # pandas object-of-lists conversion — measured 10x+ on wide groups
+        from ..pipelines.similarity import matrix_from_list_array
+        key = int(g["pair_key"][0].as_py())
         i, j = divmod(key, B)
-        vecs = np.array(g[vec_column].tolist(), dtype=np.float32)
+        vecs = matrix_from_list_array(g[vec_column])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vecs = vecs / norms
-        ids = g[id_column].tolist()
+        ids = g[id_column].to_pylist()
+        idt = g[id_column].type
+        if isinstance(idt, pa.ChunkedArray):
+            idt = idt.type
         if i == j:
-            sims = vecs @ vecs.T
-            ia, ib, cs = _pairs_from_sims(ids, ids, sims, threshold, True)
+            ia, ib, cs = _pairs_chunked(ids, ids, vecs, vecs, threshold, True)
         else:
-            ga = (g["block"] == i).to_numpy()
+            ga = np.asarray(pc.equal(g["block"], i).combine_chunks()
+                            if isinstance(g["block"], pa.ChunkedArray)
+                            else pc.equal(g["block"], i))
             a, b = vecs[ga], vecs[~ga]
             ids_a = [x for x, m in zip(ids, ga) if m]
             ids_b = [x for x, m in zip(ids, ga) if not m]
             if not len(a) or not len(b):
-                return _pair_table(g, id_column, [], [], [], "cosine")
-            sims = a @ b.T
-            ia, ib, cs = _pairs_from_sims(ids_a, ids_b, sims, threshold, False)
-        return _pair_table(g, id_column, ia, ib, cs, "cosine")
+                return _pair_table(idt, [], [], [], "cosine")
+            ia, ib, cs = _pairs_chunked(ids_a, ids_b, a, b, threshold, False)
+        return _pair_table(idt, ia, ib, cs, "cosine")
 
     exploded = ds.map_batches(explode_to_block_pairs, batch_format="pyarrow")
     return exploded.groupby("pair_key").map_groups(pair_group,
-                                                   batch_format="pandas")
+                                                   batch_format="pyarrow")
 
 
 def embedding_srp_pairs(ds, id_column: str = "vec_id",
@@ -564,15 +595,16 @@ def embedding_srp_pairs(ds, id_column: str = "vec_id",
         sig = srp_signature(vecs / norms, planes)
         return t.append_column("srp_bucket", pa.array(sig, type=pa.int64()))
 
-    def pair_group(g):
-        vecs = np.array(g[vec_column].tolist(), dtype=np.float32)
+    def pair_group(g: pa.Table) -> pa.Table:
+        from ..pipelines.similarity import matrix_from_list_array
+        vecs = matrix_from_list_array(g[vec_column])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vecs = vecs / norms
-        ids = g[id_column].tolist()
-        sims = vecs @ vecs.T
-        ia, ib, cs = _pairs_from_sims(ids, ids, sims, threshold, True)
-        return _pair_table(g, id_column, ia, ib, cs, "cosine")
+        ids = g[id_column].to_pylist()
+        ia, ib, cs = _pairs_chunked(ids, ids, vecs, vecs, threshold, True)
+        idt = g[id_column].type
+        return _pair_table(idt, ia, ib, cs, "cosine")
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
-             .groupby("srp_bucket").map_groups(pair_group, batch_format="pandas")
+             .groupby("srp_bucket").map_groups(pair_group, batch_format="pyarrow")
