@@ -344,7 +344,21 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     # its (band_id, band_key) groups with an in-process loop instead of one
     # map_groups dispatch per bucket
     def verify_bucket(g):
+        # shingle sets computed ONCE per distinct doc in the bucket (a doc
+        # appears in every band group it is crowded in; recomputing per pair
+        # was the hot loop), pairs verified by set ops and deduped here so
+        # a pair surfacing in several bands costs one verification
+        shingles: dict = {}
+        seen_pairs: set = set()
         rows = []
+
+        def sh(i, txt):
+            v = shingles.get(i)
+            if v is None:
+                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
+                shingles[i] = v
+            return v
+
         for _, grp in g.groupby(["band_id", "band_key"], sort=False):
             if len(grp) < 2:
                 continue
@@ -353,7 +367,17 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             txts = grp[text_column].tolist()
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    jac = jaccard(txts[i] or "", txts[j] or "", n_shingle)
+                    key = (ids[i], ids[j])
+                    if key in seen_pairs:
+                        continue
+                    seen_pairs.add(key)
+                    sa, sb = sh(ids[i], txts[i]), sh(ids[j], txts[j])
+                    if not sa and not sb:
+                        jac = 1.0
+                    elif not sa or not sb:
+                        jac = 0.0
+                    else:
+                        jac = len(sa & sb) / len(sa | sb)
                     if jac >= threshold:
                         rows.append((ids[i], ids[j], round(jac, 4)))
         return pa.table({
