@@ -962,47 +962,22 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
-# Above this many rows the exact quantile path (a bounded driver-side
-# order-statistics select over ONE pruned float column, ~8 bytes/row) switches
-# to the mergeable t-digest sketch — the driver never holds an unbounded
-# column.  50M rows = ~400 MB, well inside one node's heap.
-EXACT_QUANTILE_ROW_LIMIT = 50_000_000
-
-
 def q_quantiles_events_value(sf_dir: str):
-    """Discrete quantiles of events.value, size-gated:
-
-    * n <= EXACT_QUANTILE_ROW_LIMIT: exact order statistics over the single
-      pruned column (bounded driver materialization, documented).
-    * larger: the t-digest sketch (state/sketches.py) — partial-per-block,
-      tree-merged, no sort and no driver column; approximate at the 1e-3
-      relative level.  The oracle only applies at sf scales on the exact
-      side of the gate."""
+    """EXACT discrete quantiles of events.value at ANY scale: t-digest
+    bracketing + exact rank-in-bracket (stages/checks
+    .exact_quantiles_distributed) — no driver-side column, no sort, no size
+    gate, still byte-exact vs quantile_disc."""
+    from ..stages.checks import exact_quantiles_distributed
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
-    n = ds.count()
-    if n <= EXACT_QUANTILE_ROW_LIMIT:
-        chunks = [b["value"].to_numpy(zero_copy_only=False)
-                  for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
-        vals = np.sort(np.concatenate(chunks))
-
-        def qdisc(q: float) -> float:
-            # DuckDB quantile_disc: the element at ceil(q*n)-1 (0-indexed)
-            idx = max(0, int(np.ceil(q * n)) - 1)
-            return float(vals[idx])
-    else:
-        from ..stages.checks import column_tdigest
-        td = column_tdigest(ds, "value")
-
-        def qdisc(q: float) -> float:
-            return float(td.quantile(q))
-
+    vals, n = exact_quantiles_distributed(ds, "value",
+                                          [0.25, 0.50, 0.75, 0.95])
     return pa.table({
         "n": pa.array([n], type=pa.int64()),
-        "q25": pa.array([qdisc(0.25)], type=pa.float64()),
-        "q50": pa.array([qdisc(0.50)], type=pa.float64()),
-        "q75": pa.array([qdisc(0.75)], type=pa.float64()),
-        "q95": pa.array([qdisc(0.95)], type=pa.float64()),
+        "q25": pa.array([vals[0]], type=pa.float64()),
+        "q50": pa.array([vals[1]], type=pa.float64()),
+        "q75": pa.array([vals[2]], type=pa.float64()),
+        "q95": pa.array([vals[3]], type=pa.float64()),
     })
 
 

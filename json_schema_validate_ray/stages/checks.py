@@ -230,6 +230,79 @@ def exact_bounded_quantiles(ds, column: str, quantiles: list[float],
     return out, n
 
 
+def exact_quantiles_distributed(ds, column: str, quantiles: list[float],
+                                batch_size: int = 65536,
+                                bracket_budget_rows: int = 2_000_000,
+                                max_retries: int = 4) -> tuple[list, int]:
+    """EXACT quantiles of an unbounded numeric column at ANY scale — no
+    driver-side sort of the column:
+
+    1. sketch pass: a mergeable t-digest locates each quantile approximately;
+    2. bracket pass: per-batch partials count rows strictly below each
+       bracket's lower bound and collect only the values INSIDE the bracket
+       (expected ~2*eps*N rows, eps chosen from ``bracket_budget_rows``);
+    3. the exact order statistic (DuckDB quantile_disc rank, ceil(q*n)) is
+       selected inside the sorted bracket.
+
+    If the sketch erred more than eps (rank falls outside the bracket), the
+    bracket widens and the pass reruns (``max_retries``, doubling eps) —
+    never a silent approximation.  Driver memory is O(bracket rows), bounded
+    by the budget, regardless of N.  Returns (values, n_nonnull)."""
+    from ..state.sketches import TDigest
+
+    def count_pass(batch: pa.Table) -> pa.Table:
+        arr = batch[column].combine_chunks() if isinstance(batch[column], pa.ChunkedArray) else batch[column]
+        return pa.table({"n": pa.array([len(arr) - arr.null_count], type=pa.int64())})
+
+    n = sum(r["n"] for r in ds.map_batches(
+        count_pass, batch_format="pyarrow", batch_size=batch_size).take_all())
+    if n == 0:
+        return [None] * len(quantiles), 0
+
+    td = column_tdigest(ds, column, batch_size=batch_size)
+    eps = max(1e-4, bracket_budget_rows / (4.0 * n * max(1, len(quantiles))))
+
+    for _ in range(max_retries):
+        brackets = [(td.quantile(max(0.0, q - eps)), td.quantile(min(1.0, q + eps)))
+                    for q in quantiles]
+
+        def bracket_partial(batch: pa.Table, _brackets=brackets) -> pa.Table:
+            arr = batch[column]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            vals = arr.drop_null().to_numpy(zero_copy_only=False) \
+                      .astype(np.float64, copy=False)
+            below, inside = [], []
+            for lo, hi in _brackets:
+                below.append(int((vals < lo).sum()))
+                inside.append(vals[(vals >= lo) & (vals <= hi)].tobytes())
+            return pa.table({
+                "below": pa.array([below], type=pa.list_(pa.int64())),
+                "inside": pa.array([inside], type=pa.list_(pa.binary())),
+            })
+
+        partials = ds.map_batches(bracket_partial, batch_format="pyarrow",
+                                  batch_size=batch_size).take_all()
+        out, ok = [], True
+        for qi, q in enumerate(quantiles):
+            n_below = sum(r["below"][qi] for r in partials)
+            chunk = [np.frombuffer(r["inside"][qi], dtype=np.float64)
+                     for r in partials]
+            inside = np.sort(np.concatenate(chunk)) if chunk else np.array([])
+            rank = max(1, int(np.ceil(q * n)))          # 1-based, quantile_disc
+            idx = rank - n_below - 1                    # 0-based within bracket
+            if idx < 0 or idx >= len(inside):
+                ok = False                              # sketch err > eps: widen
+                break
+            out.append(float(inside[idx]))
+        if ok:
+            return out, n
+        eps = min(0.5, eps * 2)
+    raise RuntimeError(
+        f"exact_quantiles_distributed: bracket missed rank after {max_retries} "
+        f"retries (eps={eps}) — t-digest quality insufficient for {column}")
+
+
 def uniqueness_report(ds, key: str = "doc_id") -> pa.Table:
     """Materialized duplicate report (duplicate keys are assumed rare)."""
     dups = duplicate_keys(ds, key)

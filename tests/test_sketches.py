@@ -77,3 +77,41 @@ def test_column_stats_merge():
     assert (cs1.count, cs1.nulls) == (4, 1)
     assert (cs1.minimum, cs1.maximum) == (1.0, 10.0)
     assert cs1.mean == pytest.approx(13 / 3)
+
+
+def test_exact_quantiles_distributed_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from json_schema_validate_ray.stages.checks import exact_quantiles_distributed
+
+    rng = np.random.default_rng(5)
+    # adversarial mix: heavy ties + outliers + skew
+    vals = np.concatenate([
+        rng.normal(0, 1, 40_000),
+        np.full(20_000, 3.25),             # massive tie block
+        rng.exponential(10, 10_000),
+        [-1e9, 1e9],
+    ])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got, n = exact_quantiles_distributed(ds, "v", qs, bracket_budget_rows=5_000)
+    assert n == len(vals)
+    s = np.sort(vals)
+    for q, g in zip(qs, got):
+        expect = s[max(0, int(np.ceil(q * n)) - 1)]   # quantile_disc rank
+        assert g == expect, f"q={q}: {g} != {expect}"
+
+
+def test_exact_quantiles_distributed_tiny_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from json_schema_validate_ray.stages.checks import exact_quantiles_distributed
+    ds = rd.from_arrow(pa.table({"v": [7.0]}))
+    got, n = exact_quantiles_distributed(ds, "v", [0.5, 0.99])
+    assert n == 1 and got == [7.0, 7.0]
+    ds0 = rd.from_arrow(pa.table({"v": pa.array([], type=pa.float64())}))
+    got0, n0 = exact_quantiles_distributed(ds0, "v", [0.5])
+    assert n0 == 0 and got0 == [None]
