@@ -77,17 +77,20 @@ def exact_dedup_survivors(ds, text_column: str = "text", id_column: str = "doc_i
 
 
 def exact_dedup_summary(ds, text_column: str = "text", id_column: str = "doc_id") -> pa.Table:
-    """One-row summary: n_docs, n_unique, n_dup_docs (docs minus survivors)."""
+    """One-row summary: n_docs, n_unique, n_dup_docs.  Distinct counting via
+    the combiner + stable-hash-bucket pattern (stages/checks
+    .exact_distinct_count): within-batch repeats collapse before the shuffle
+    and the exchange moves int32-bucketed rows, not a sort of every md5
+    string (the native groupby(fingerprint) path)."""
+    from ..stages.checks import exact_distinct_count
+
+    counts = ds.map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows], type=pa.int64())}),
+        batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in counts)
     fps = ds.map_batches(lambda b: _fingerprint_batch(b, text_column, id_column),
                          batch_format="pyarrow")
-    counts = fps.groupby("fingerprint").count()
-    agg = counts.map_batches(
-        lambda t: pa.table({
-            "groups": pa.array([t.num_rows], type=pa.int64()),
-            "docs": pa.array([int(pc.sum(t["count()"]).as_py() or 0)], type=pa.int64()),
-        }), batch_format="pyarrow").take_all()
-    n_unique = sum(r["groups"] for r in agg)
-    n_docs = sum(r["docs"] for r in agg)
+    n_unique = exact_distinct_count(fps, "fingerprint")
     return pa.table({
         "n_docs": pa.array([n_docs], type=pa.int64()),
         "n_unique": pa.array([n_unique], type=pa.int64()),
