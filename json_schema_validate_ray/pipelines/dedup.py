@@ -2,18 +2,24 @@
 
 Five dedup families (prompt/SURVEY requirements), all Ray-Data-first:
 
-* exact       — content hash -> combiner -> groupby count (hash partition)
-* MinHash+LSH — shingle -> minhash -> band keys -> band-bucket groupby ->
-                candidate groups -> pairwise Jaccard verify inside the group
-* SimHash     — 64-bit simhash -> band buckets -> Hamming-verified pairs
+* exact       — content hash -> combiner -> bucketed distinct count
+* MinHash+LSH — shingle -> batch-vectorized minhash -> band keys ->
+                coarse-key-bucket groupby -> candidate groups; verified
+                pairs add a crowded-key semi-join (text stays out of the
+                count shuffle) + per-bucket exact Jaccard with cached
+                shingle sets
+* SimHash     — 64-bit simhash -> bucketed identical-hash groups
 * n-gram Jaccard — shared-prefix/bucket candidates verified by exact Jaccard
-* embedding cosine — normalized vectors; the smaller side broadcast once,
-                the larger side streamed batch-wise (O(N*M) flops distributed,
-                no shuffle); scale path = bucket by sign-random-projection
-                first (same code path, bucket column as groupby key)
+* embedding cosine — EXACT: triangle block-pairing (ids hash into
+                size-derived blocks; every unordered block pair is one
+                reduce group; tiled matmuls bound memory); APPROXIMATE
+                scale path: SRP-bucketed pairing (sub-quadratic,
+                documented recall)
 
-The shuffles here are the candidate-bucket groupbys; every one is preceded by
-a per-batch combiner or emits only (key, doc_id)-sized rows, never documents.
+Shared machinery: generator-UDF explodes (no x-bands heap copies),
+size-derived partition/bucket counts, Arrow-formatted map_groups in AND out
+(pandas group conversion measured 17x slower), and a broadcast-or-join
+crowded-key semi-join that never truncates.
 """
 
 from __future__ import annotations
