@@ -602,6 +602,72 @@ FROM documents
 """
 
 
+def q_stratified_sample_documents(sf_dir: str):
+    """Deterministic hash sampling, stratified by construction: keep a doc
+    iff md5(doc_id) mod 100 < 20.  Content-addressed sampling is reproducible
+    across runs/workers with no RNG state and composes with resume; md5
+    makes the predicate replicable bit-for-bit in the SQL oracle."""
+    import hashlib
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        mask = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 20
+                for i in ids]
+        return b.filter(pa.array(mask))
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+"""
+
+
+def q_topk_per_group_documents(sf_dir: str):
+    """Per-group top-k (3 longest docs per lang) via the COMBINER pattern:
+    every batch emits only its local per-lang top-3 (tiny), the final merge
+    re-selects over the union — no full-row shuffle, no window function."""
+    k = 3
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"lang": b["lang"].to_pylist(),
+                           "doc_id": b["doc_id"].to_pylist(),
+                           "n_chars": b["n_chars"].to_pylist()})
+        top = (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+                 .groupby("lang", sort=False).head(k))
+        return pa.table({"lang": pa.array(top["lang"], type=pa.string()),
+                         "doc_id": pa.Array.from_pandas(top["doc_id"]),
+                         "n_chars": pa.array(top["n_chars"], type=pa.int64())})
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "lang", "n_chars"])
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    # final merge over the tiny union (<= k x langs x blocks rows)
+    tbl = pa.Table.from_pylist(partials.take_all())
+    import pandas as pd
+    df = tbl.to_pandas()
+    top = (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+             .groupby("lang", sort=False).head(k))
+    top = top.sort_values(["lang", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+    return pa.table({"lang": pa.array(top["lang"], type=pa.string()),
+                     "doc_id": pa.Array.from_pandas(top["doc_id"]).cast(pa.int64()),
+                     "n_chars": pa.array(top["n_chars"], type=pa.int64())})
+
+
+SQL_TOPK_PER_GROUP_DOCUMENTS = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 3
+"""
+
+
 def q_fingerprint_documents(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.repartition(_parts_for(ds)).map_batches(
@@ -1375,6 +1441,10 @@ REGISTRY: dict[str, tuple] = {
     "stopword_stats": (q_stopword_stats, SQL_STOPWORD_STATS),
     "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
     "normalize_text_documents": (q_normalize_text_documents, SQL_NORMALIZE_TEXT_DOCUMENTS),
+    "stratified_sample_documents": (q_stratified_sample_documents,
+                                    SQL_STRATIFIED_SAMPLE_DOCUMENTS),
+    "topk_per_group_documents": (q_topk_per_group_documents,
+                                 SQL_TOPK_PER_GROUP_DOCUMENTS),
     "lang_id_agreement": (q_lang_id_accuracy, SQL_LANG_ID_AGREEMENT),
     # dedup
     "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP_DOCUMENTS),
