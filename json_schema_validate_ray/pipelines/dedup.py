@@ -467,27 +467,6 @@ def simhash_buckets(ds, text_column: str = "text", id_column: str = "doc_id"):
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def _pairs_from_sims(ids_a, ids_b, sims: np.ndarray, threshold: float,
-                     same_block: bool):
-    """(id_a, id_b, cosine) rows with id_a < id_b from a similarity matrix.
-    ``same_block``: sims is square over one id list (skip self/symmetric)."""
-    ia, ib, cs = [], [], []
-    ci, cj = np.nonzero(sims >= threshold)
-    if same_block:
-        keep = cj > ci
-        ci, cj = ci[keep], cj[keep]
-    for i, j in zip(ci, cj):
-        a, b = ids_a[int(i)], ids_b[int(j)]
-        if a == b:
-            continue
-        if b < a:
-            a, b = b, a
-        ia.append(a)
-        ib.append(b)
-        cs.append(round(float(sims[i, j]), 5))
-    return ia, ib, cs
-
-
 def _pairs_chunked(ids_a, ids_b, va: np.ndarray, vb: np.ndarray,
                    threshold: float, same_block: bool,
                    chunk_rows: int = 1024):
