@@ -81,7 +81,7 @@ def run_bench() -> dict:
     # sequences validated/sec)
     def tokens_validate():
         ds = rd.read_parquet(tokens_dir)
-        verdicts = validate_dataset(ds)   # default batch_size (32768, swept)
+        verdicts = validate_dataset(ds)   # default batch_size (per-block, swept)
         # consume as a stream: count invalid without materializing rows
         import pyarrow as pa
         import pyarrow.compute as pc

@@ -67,7 +67,7 @@ def _cached_annotator(key: bytes, make):
 
 
 def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
-                     id_column: str = "doc_id", batch_size: int = 32768,
+                     id_column: str = "doc_id", batch_size=None,
                      concurrency=None, compute: str = "tasks"):
     """Lazy verdict dataset: input columns are pruned to the id and the
     verdict columns; violations ride along as a JSON column (single pass).
@@ -77,6 +77,12 @@ def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
     regexes build once per worker process (Ray reuses processes), the stage
     fuses with the read, and there is no actor-pool spawn cost (30 actors at
     32 cpus dominate short runs).
+
+    ``batch_size=None`` (default, swept): one batch per block — no splitting
+    or cross-block coalescing; block size (DataContext.target_max_block_size)
+    bounds batch memory.  Splitting blocks (e.g. 8192) pays per-batch
+    plan-evaluation overhead; coalescing past block size repacks for no
+    gain.
     ``compute="actors"``: stateful actor pool (the reference's per-backend
     session cache pattern, json_schema_validate.c:88-92) — the right shape
     when per-worker state is too large for casual re-creation (models) or a
@@ -290,7 +296,7 @@ class _SuitePartial:
 
 
 def full_report(input_path: str, schema=TOKENS_SCHEMA,
-                batch_size: int = 32768, cross_checks=None) -> dict:
+                batch_size=None, cross_checks=None) -> dict:
     """Flagship report over an input directory in TWO scans total:
     scan 1 (fused) = validation verdicts + column stats + NDV sketches;
     scan 2 = exact doc_id uniqueness (needs its hash-partitioned shuffle).
