@@ -1272,6 +1272,13 @@ v AS (SELECT doc_id, tokens, n_tok, source, CAST({indicators} AS BIGINT) AS n_vi
         "tokens_verdicts": verdict_cte + """
 SELECT doc_id, n_violations = 0 AS valid, n_violations FROM v
 """,
+        "tokens_partitioned_run": verdict_cte + """
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE n_violations > 0) AS invalid_rows,
+       CAST(sum(n_violations) AS BIGINT) AS violation_rows,
+       8 AS partitions
+FROM v
+""",
         "tokens_validation_summary": verdict_cte + """
 SELECT count(*) AS "rows",
        count(*) FILTER (WHERE n_violations > 0) AS invalid_rows,
@@ -1334,6 +1341,26 @@ FROM t
 
 
 TOKENS_ORACLE_SQL = _tokens_sql(TOKENS_ORACLE_DIR)
+
+
+def q_tokens_partitioned_run(sf_dir: str):
+    """The flagship RESUMABLE pipeline end-to-end as an oracled query: a
+    fresh partitioned run (validate -> verdict+violation parquet + manifests)
+    whose rollup counts are SQL-checkable.  The output directory is wiped
+    first so each harness invocation measures a complete run."""
+    import shutil
+
+    from .validate import run_partitioned_validation
+    tdir = _tokens_dir_for(sf_dir)
+    out = f"/tmp/jsv_partrun/{os.path.basename(os.path.normpath(tdir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    s = run_partitioned_validation(tdir, out, files_per_partition=2)
+    return pa.table({
+        "n_rows": pa.array([s["rows"]], type=pa.int64()),
+        "invalid_rows": pa.array([s["invalid_rows"]], type=pa.int64()),
+        "violation_rows": pa.array([s["violation_rows"]], type=pa.int64()),
+        "partitions": pa.array([s["partitions"]], type=pa.int64()),
+    })
 
 
 def q_tokens_validation_summary(sf_dir: str):
@@ -1472,6 +1499,8 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_payload_stats": (q_multimodal_payload_stats, SQL_MULTIMODAL_PAYLOAD_STATS),
     # flagship tokens pipelines (deterministic synthesized input; the oracle
     # SQL reads the same parquet via read_parquet() — oracle_sql() writes it)
+    "tokens_partitioned_run": (q_tokens_partitioned_run,
+                               TOKENS_ORACLE_SQL["tokens_partitioned_run"]),
     "tokens_validation_summary": (q_tokens_validation_summary,
                                   TOKENS_ORACLE_SQL["tokens_validation_summary"]),
     "tokens_verdicts": (q_tokens_verdicts, TOKENS_ORACLE_SQL["tokens_verdicts"]),
