@@ -180,6 +180,35 @@ def q_lang_distribution(sf_dir: str):
 SQL_LANG_DISTRIBUTION = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
 
 
+def q_drift_chi_square_lang(sf_dir: str):
+    """Distribution-drift check, oracled: Pearson chi-square of the observed
+    lang distribution against a uniform baseline (the engine's drift
+    primitive, stages/checks.categorical_counts + state/sketches.chi_square
+    — combiner partials, no shuffle).  A uniform baseline makes the expected
+    counts SQL-expressible."""
+    from ..stages.checks import categorical_counts
+    from ..state.sketches import chi_square
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    counts = categorical_counts(ds, "lang")
+    baseline = {k: 1 for k in counts}       # uniform over observed categories
+    stat = chi_square(counts, baseline)
+    return pa.table({
+        "n_categories": pa.array([len(counts)], type=pa.int64()),
+        "chi_square": pa.array([round(stat, 6)], type=pa.float64()),
+    })
+
+
+SQL_DRIFT_CHI_SQUARE_LANG = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+SELECT (SELECT k FROM t) AS n_categories,
+       round(sum(pow(n - (SELECT total FROM t) / CAST((SELECT k FROM t) AS DOUBLE), 2)
+                 / ((SELECT total FROM t) / CAST((SELECT k FROM t) AS DOUBLE))), 6)
+         AS chi_square
+FROM c
+"""
+
+
 def q_topk_longest_docs(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
@@ -1447,6 +1476,7 @@ REGISTRY: dict[str, tuple] = {
     "column_stats_lineitem": (q_column_stats_lineitem, SQL_COLUMN_STATS_LINEITEM),
     "groupby_source_documents": (q_groupby_source_documents, SQL_GROUPBY_SOURCE_DOCUMENTS),
     "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
+    "drift_chi_square_lang": (q_drift_chi_square_lang, SQL_DRIFT_CHI_SQUARE_LANG),
     "topk_longest_docs": (q_topk_longest_docs, SQL_TOPK_LONGEST_DOCS),
     "histogram_n_chars": (q_histogram_n_chars, SQL_HISTOGRAM_N_CHARS),
     # uniqueness / referential / range
