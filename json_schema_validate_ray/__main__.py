@@ -4,6 +4,8 @@
     python -m json_schema_validate_ray report   INPUT_DIR        [--schema f.json]
     python -m json_schema_validate_ray suite    INPUT_DIR
     python -m json_schema_validate_ray synth    OUT_DIR --rows N [--partitions P]
+    python -m json_schema_validate_ray query    NAME [--sf-dir D] [--limit N]
+    python -m json_schema_validate_ray query --list
 
 Owns its Ray session (guarded init) per the repo convention: only CLI entry
 points, bench.py and the test fixture call ray.init().
@@ -58,7 +60,20 @@ def main(argv=None) -> int:
     g.add_argument("--partitions", type=int, default=32)
     g.add_argument("--seed", type=int, default=42)
 
+    qp = sub.add_parser("query", help="run a registry pipeline by name")
+    qp.add_argument("name", nargs="?", default=None)
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument("--limit", type=int, default=20,
+                    help="rows printed (full result still computed)")
+    qp.add_argument("--list", action="store_true", help="list query names")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list:
+        from .pipelines import queries as q
+        for name, (_fn, sql) in q.REGISTRY.items():
+            print(f"{name}\t{'oracled' if sql else 'rows-only'}")
+        return 0
 
     if args.cmd == "synth":
         from .sources.tokens import write_tokens_parquet
@@ -82,6 +97,24 @@ def main(argv=None) -> int:
             from .pipelines.validate import full_report
             print(json.dumps(full_report(args.input_dir,
                                          schema=_load_schema(args.schema))))
+        elif args.cmd == "query":
+            from .pipelines import queries as q
+            reg = q.queries()
+            if args.name not in reg:
+                print(json.dumps({"error": f"unknown query {args.name!r}; "
+                                  "use --list"}))
+                return 2
+            import pyarrow as _pa
+            res = reg[args.name](args.sf_dir)
+            if isinstance(res, _pa.Table):
+                rows = res.slice(0, args.limit).to_pylist()
+                total = res.num_rows
+            else:                      # ray.data.Dataset
+                rows = res.take(args.limit)
+                total = res.count()
+            print(json.dumps({"query": args.name, "rows_shown": len(rows),
+                              "rows_total": int(total), "rows": rows},
+                             default=str))
         elif args.cmd == "suite":
             import ray.data as rd
 
