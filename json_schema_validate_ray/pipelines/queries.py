@@ -859,6 +859,16 @@ LIMIT 10
 """
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-coarse-quantized approximate top-k (rows-only: recall bounded by
+    nprobe/n_centroids; the exact counterpart ann_topk_cosine is oracled)."""
+    from .similarity import ivf_topk
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    top = ivf_topk(ds, _query_vector(sf_dir), k=10, n_centroids=16, nprobe=6)
+    tbl = pa.Table.from_pylist(top.take_all()).select(["vec_id", "cosine"])
+    return _round_col(tbl, "cosine", 2)
+
+
 def q_ann_srp_topk(sf_dir: str):
     """SRP-bucketed approximate top-k (rows-only: approximation is not
     SQL-expressible)."""
@@ -1513,6 +1523,7 @@ REGISTRY: dict[str, tuple] = {
     # similarity search
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK_COSINE),
     "ann_srp_topk": (q_ann_srp_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "embedding_norm_stats": (q_embedding_norm_stats, SQL_EMBEDDING_NORM_STATS),
     # joins
     "join_orders_customers": (q_join_orders_customers, SQL_JOIN_ORDERS_CUSTOMERS),

@@ -159,6 +159,87 @@ class _SRPTopKScanner(_TopKScanner):
         return super().__call__(filtered)
 
 
+def train_ivf_centroids(ds, n_centroids: int = 16, sample_rows: int = 4096,
+                        n_iter: int = 10, vec_column: str = "embedding",
+                        seed: int = 29) -> np.ndarray:
+    """Deterministic mini k-means for IVF coarse quantization: train on a
+    bounded sample (one driver-side matrix of ``sample_rows`` vectors), a
+    fixed seed and iteration count — same centroids every run.  At scale the
+    sample is a tiny fraction; training cost is independent of N."""
+    sample = ds.limit(sample_rows).take_all()
+    mat = _normalize(np.array([r[vec_column] for r in sample], dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(mat))
+    cent = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cent.T, axis=1)          # cosine on normalized
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class _IVFTopKScanner(_TopKScanner):
+    """Scans only rows whose IVF cell is among each query's ``nprobe``
+    nearest centroids — the classic coarse-quantizer prune; scan fraction
+    ~ nprobe / n_centroids."""
+
+    def __init__(self, query_ref, centroids_ref, id_column, vec_column, k,
+                 nprobe: int):
+        import ray
+        super().__init__(query_ref, id_column, vec_column, k)
+        self.centroids = ray.get(centroids_ref)           # (C, d) normalized
+        qsims = self.queries @ self.centroids.T           # (Q, C)
+        nprobe = min(nprobe, self.centroids.shape[0])
+        probed = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+        self.probe_cells = set(probed.reshape(-1).tolist())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = matrix_from_list_array(batch[self.vec_column])
+        if len(vecs) == 0:
+            return super().__call__(batch)
+        cells = np.argmax(_normalize(vecs) @ self.centroids.T, axis=1)
+        keep = np.isin(cells, list(self.probe_cells))
+        return super().__call__(batch.filter(pa.array(keep)))
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, id_column: str = "vec_id",
+             vec_column: str = "embedding", seed: int = 29):
+    """Approximate top-k via IVF coarse quantization (the k-means sibling of
+    the SRP path): centroids trained once on a bounded sample, broadcast via
+    ``ray.put``; every batch assigns its vectors to cells vectorized and
+    scans only the cells any query probes.  Recall rises with ``nprobe``
+    (nprobe == n_centroids is exhaustive == brute force)."""
+    import ray
+
+    from ..stages.taskcache import cached_stage
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    centroids = train_ivf_centroids(ds, n_centroids=n_centroids,
+                                    vec_column=vec_column, seed=seed)
+    query_ref = ray.put(queries)
+    centroids_ref = ray.put(centroids)
+    partial = ds.repartition(_scan_partitions(ds)).map_batches(
+        cached_stage(_IVFTopKScanner, query_ref=query_ref,
+                     centroids_ref=centroids_ref, id_column=id_column,
+                     vec_column=vec_column, k=k, nprobe=nprobe),
+        batch_format="pyarrow")
+
+    def prune(g):
+        g = g.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"], type=pa.int32()),
+            id_column: pa.Array.from_pandas(g[id_column]),
+            "cosine": pa.array(g["cosine"], type=pa.float64())})
+
+    return partial.groupby("query_id").map_groups(prune, batch_format="pandas")
+
+
 def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
                       id_column: str = "vec_id", vec_column: str = "embedding",
                       seed: int = 13):

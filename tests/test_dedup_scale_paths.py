@@ -128,3 +128,31 @@ def test_minhash_and_simhash_still_find_planted_dups(ray_session):
     buckets = simhash_buckets(ds, "text", "doc_id").take_all()
     sim_ids = {d for r in buckets for d in r["doc_ids"]}
     assert {"50", "51", "52"} <= sim_ids
+
+
+def test_ivf_topk_recall(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from json_schema_validate_ray.pipelines.similarity import (
+        brute_force_topk, ivf_topk)
+    rng = np.random.default_rng(3)
+    # clustered corpus: IVF's favorable regime
+    centers = rng.standard_normal((8, 24)).astype(np.float32) * 3
+    mat = np.concatenate([c + rng.standard_normal((200, 24)).astype(np.float32)
+                          for c in centers])
+    ids = np.arange(len(mat))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              type=pa.list_(pa.float32()))})).repartition(4)
+    q = mat[5]
+    exact = {r["vec_id"] for r in brute_force_topk(ds, q, k=10).take_all()}
+    # full probe == brute force (sanity: recall 1.0)
+    full = {r["vec_id"] for r in ivf_topk(ds, q, k=10, n_centroids=8,
+                                          nprobe=8).take_all()}
+    assert full == exact
+    # partial probe: high recall on clustered data
+    approx = {r["vec_id"] for r in ivf_topk(ds, q, k=10, n_centroids=8,
+                                            nprobe=2).take_all()}
+    assert len(approx & exact) >= 8
