@@ -1141,6 +1141,46 @@ FROM events GROUP BY day
 """
 
 
+# Static interval dimension for the range join (overlapping on purpose: a
+# row matching several bands must emit several rows)
+VALUE_BANDS = [("low", 0.0, 50.0), ("mid", 40.0, 120.0), ("high", 100.0, 1e9)]
+
+
+def q_range_join_events_bands(sf_dir: str):
+    """Range (interval) join — Ray Data has no native one: the interval
+    table is the SMALL side, broadcast implicitly as a constant; containment
+    is a vectorized mask per interval per batch and each interval emits its
+    matching rows (overlaps produce multiple rows, exactly like the SQL
+    theta join).  Partitioning assumption: the interval table stays
+    broadcast-small; the fact table streams."""
+    from ray.data.aggregate import Count
+
+    def tag(b: pa.Table):
+        # GENERATOR: one yielded slice per band — no K-times concat in heap
+        v = b["value"]
+        for band, lo, hi in VALUE_BANDS:
+            m = pc.and_(pc.greater_equal(v, lo), pc.less(v, hi))
+            sel = b.filter(m)
+            yield pa.table({
+                "band": pa.array([band] * sel.num_rows, type=pa.string()),
+                "value": sel["value"]})
+
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["value"])
+    out = ds.map_batches(tag, batch_format="pyarrow") \
+            .groupby("band").aggregate(Count(alias_name="n_events"))
+    return out
+
+
+SQL_RANGE_JOIN_EVENTS_BANDS = """
+SELECT b.band, count(*) AS n_events
+FROM events e
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 40.0, 120.0), ('high', 100.0, 1e9))
+     AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
 def q_sliding_weekly_events(sf_dir: str):
     """Sliding-window aggregate (7-day window ending at each active day):
     the heavy reduction is the DISTRIBUTED tumbling daily count; the sliding
@@ -1530,6 +1570,7 @@ REGISTRY: dict[str, tuple] = {
     "broadcast_join_region": (q_broadcast_join_region, SQL_BROADCAST_JOIN_REGION),
     "union_orderkeys": (q_union_orderkeys, SQL_UNION_ORDERKEYS),
     "asof_join_clicks_errors": (q_asof_join_clicks_errors, SQL_ASOF_JOIN_CLICKS_ERRORS),
+    "range_join_events_bands": (q_range_join_events_bands, SQL_RANGE_JOIN_EVENTS_BANDS),
     "quantiles_events_value": (q_quantiles_events_value, SQL_QUANTILES_EVENTS_VALUE),
     # events grouped/windowed
     "events_per_user": (q_events_per_user, SQL_EVENTS_PER_USER),
