@@ -183,6 +183,12 @@ def _enum_value_set(dtype: pa.DataType, entries) -> tuple[Optional[pa.Array], bo
         # None / containers never equal a non-null scalar value
     if not out:
         return None, True
+    if is_num and not is_int:
+        # Arrow's hash-based is_in distinguishes -0.0 from 0.0 (bit-pattern
+        # hash) while JSON/decimal equality does not: cover both signs
+        zeros = [v for v in out if isinstance(v, (int, float)) and v == 0]
+        if zeros:
+            out.extend([0.0, -0.0])
     try:
         return pa.array(out, type=dtype), True
     except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):

@@ -261,3 +261,15 @@ def test_enum_const_dtype_matrix(data, entries, use_const):
         assert valid[i] == expect, (
             f"{sub} on {data[i]!r} (col {batch['a'].type}): "
             f"vectorized={bool(valid[i])} evaluator={expect}")
+
+
+def test_enum_negative_zero():
+    # Arrow's hash-based is_in distinguishes -0.0 from 0.0; JSON equality
+    # does not — fuzzer-found (test_enum_const_dtype_matrix)
+    schema = {"type": "object", "properties": {"a": {"enum": [0]}}}
+    batch = pa.table({"a": [-0.0, 0.0, 1.0]})
+    valid = _check(schema, batch)
+    assert list(valid) == [True, True, False]
+    schema2 = {"type": "object", "properties": {"a": {"enum": [-0.0]}}}
+    valid2 = _check(schema2, pa.table({"a": [0.0, 2.0]}))
+    assert list(valid2) == [True, False]
