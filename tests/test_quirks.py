@@ -209,3 +209,29 @@ def test_one_of_match_count_message():
     errs = jsonschema_validate('2', '{"oneOf": [{"minimum": 0}, {"maximum": 3}]}')
     assert errs == [{"path": "",
                      "message": "Value matches 2 schemas in oneOf, but must match exactly one"}]
+
+
+def test_unimplemented_keywords_ignored_like_reference():
+    """The reference ignores keywords it does not implement (README.md
+    Limitations: prefixItems, dependentRequired, dependentSchemas,
+    unevaluated*, $id/$anchor) — both engine paths must too."""
+    import pyarrow as pa
+    from json_schema_validate_ray.functions.compiler import jsonschema_compile
+    from json_schema_validate_ray.functions.evaluator import Evaluator
+    from json_schema_validate_ray.stages.vectorized import TablePlan
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "a": {"type": "integer", "dependentRequired": {"a": ["b"]},
+                  "unevaluatedProperties": False},
+        },
+        "dependentSchemas": {"a": {"required": ["zzz"]}},
+        "$id": "https://example.com/x",
+        "prefixItems": [{"type": "string"}],
+    }
+    doc = {"a": 1}
+    assert Evaluator(jsonschema_compile(schema)).validate_document(doc, None)
+    plan = TablePlan(schema)
+    valid, viol = plan.evaluate_batch(pa.table({"a": [1, None]}))
+    assert list(valid) == [True, True] and not viol
