@@ -313,33 +313,50 @@ class Evaluator:
     def _check_number_constraints(self, data, schema, path, errors) -> bool:
         # check_number_constraints, json_schema_validate.c:997-1084
         valid = True
-        num = to_decimal(data)
+        # int fast path: for int data vs int bounds, native comparison and
+        # modulo are EXACT and identical to the decimal semantics below
+        # (divisibility is sign-convention-free); Decimal only when a float
+        # is involved — that is where the exact-decimal quirks live.  The
+        # per-element hot loop (items over token arrays) is all-int.
+        data_is_int = type(data) is int
 
         v = schema.get("minimum")
-        if _is_schema_number(v) and num < to_decimal(v):
-            _append_error(errors, path, "Value is less than minimum")
-            valid = False
+        if _is_schema_number(v):
+            if (data < v if data_is_int and type(v) is int
+                    else to_decimal(data) < to_decimal(v)):
+                _append_error(errors, path, "Value is less than minimum")
+                valid = False
 
         v = schema.get("maximum")
-        if _is_schema_number(v) and num > to_decimal(v):
-            _append_error(errors, path, "Value exceeds maximum")
-            valid = False
+        if _is_schema_number(v):
+            if (data > v if data_is_int and type(v) is int
+                    else to_decimal(data) > to_decimal(v)):
+                _append_error(errors, path, "Value exceeds maximum")
+                valid = False
 
         v = schema.get("exclusiveMinimum")
-        if _is_schema_number(v) and num <= to_decimal(v):
-            _append_error(errors, path, "Value must be greater than exclusiveMinimum")
-            valid = False
+        if _is_schema_number(v):
+            if (data <= v if data_is_int and type(v) is int
+                    else to_decimal(data) <= to_decimal(v)):
+                _append_error(errors, path, "Value must be greater than exclusiveMinimum")
+                valid = False
 
         v = schema.get("exclusiveMaximum")
-        if _is_schema_number(v) and num >= to_decimal(v):
-            _append_error(errors, path, "Value must be less than exclusiveMaximum")
-            valid = False
+        if _is_schema_number(v):
+            if (data >= v if data_is_int and type(v) is int
+                    else to_decimal(data) >= to_decimal(v)):
+                _append_error(errors, path, "Value must be less than exclusiveMaximum")
+                valid = False
 
         v = schema.get("multipleOf")
         if _is_schema_number(v):
             # exact decimal numeric_mod(x, m) == 0 (:1064-1080), so
             # 4.5 multipleOf 1.5 is true (sql/json_schema_validate.sql:329)
-            if to_decimal(data) % to_decimal(v) != 0:
+            if data_is_int and type(v) is int and v != 0:
+                bad = data % v != 0
+            else:
+                bad = to_decimal(data) % to_decimal(v) != 0
+            if bad:
                 _append_error(errors, path, "Value is not a multiple of multipleOf")
                 valid = False
         return valid
