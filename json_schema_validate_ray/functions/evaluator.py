@@ -72,6 +72,12 @@ class Evaluator:
     def __init__(self, compiled: CompiledSchema) -> None:
         self.compiled = compiled
         self.regexes: RegexCache = compiled.regex_cache
+        # per-subschema numeric-keyword plans, keyed by id(schema dict):
+        # schema dicts are owned by the CompiledSchema and immutable for the
+        # evaluator's lifetime, so the id is a stable memo key.  Avoids five
+        # dict lookups + keyword-type validations per NUMBER per element in
+        # the hot items loop.
+        self._num_plans: dict = {}
 
     # -- top level -------------------------------------------------------
 
@@ -310,8 +316,25 @@ class Evaluator:
             return False
         return True
 
+    def _numeric_plan(self, schema: dict):
+        """Memoized numeric keyword extraction (None when absent/ill-typed —
+        the reference silently skips non-numeric keyword values)."""
+        key = id(schema)
+        plan = self._num_plans.get(key)
+        if plan is None:
+            def kw(name):
+                v = schema.get(name)
+                return v if _is_schema_number(v) else None
+            plan = (kw("minimum"), kw("maximum"), kw("exclusiveMinimum"),
+                    kw("exclusiveMaximum"), kw("multipleOf"))
+            self._num_plans[key] = plan
+        return plan
+
     def _check_number_constraints(self, data, schema, path, errors) -> bool:
         # check_number_constraints, json_schema_validate.c:997-1084
+        mn, mx, emn, emx, mult = self._numeric_plan(schema)
+        if mn is None and mx is None and emn is None and emx is None                 and mult is None:
+            return True
         valid = True
         # int fast path: for int data vs int bounds, native comparison and
         # modulo are EXACT and identical to the decimal semantics below
@@ -320,42 +343,37 @@ class Evaluator:
         # per-element hot loop (items over token arrays) is all-int.
         data_is_int = type(data) is int
 
-        v = schema.get("minimum")
-        if _is_schema_number(v):
-            if (data < v if data_is_int and type(v) is int
-                    else to_decimal(data) < to_decimal(v)):
+        if mn is not None:
+            if (data < mn if data_is_int and type(mn) is int
+                    else to_decimal(data) < to_decimal(mn)):
                 _append_error(errors, path, "Value is less than minimum")
                 valid = False
 
-        v = schema.get("maximum")
-        if _is_schema_number(v):
-            if (data > v if data_is_int and type(v) is int
-                    else to_decimal(data) > to_decimal(v)):
+        if mx is not None:
+            if (data > mx if data_is_int and type(mx) is int
+                    else to_decimal(data) > to_decimal(mx)):
                 _append_error(errors, path, "Value exceeds maximum")
                 valid = False
 
-        v = schema.get("exclusiveMinimum")
-        if _is_schema_number(v):
-            if (data <= v if data_is_int and type(v) is int
-                    else to_decimal(data) <= to_decimal(v)):
+        if emn is not None:
+            if (data <= emn if data_is_int and type(emn) is int
+                    else to_decimal(data) <= to_decimal(emn)):
                 _append_error(errors, path, "Value must be greater than exclusiveMinimum")
                 valid = False
 
-        v = schema.get("exclusiveMaximum")
-        if _is_schema_number(v):
-            if (data >= v if data_is_int and type(v) is int
-                    else to_decimal(data) >= to_decimal(v)):
+        if emx is not None:
+            if (data >= emx if data_is_int and type(emx) is int
+                    else to_decimal(data) >= to_decimal(emx)):
                 _append_error(errors, path, "Value must be less than exclusiveMaximum")
                 valid = False
 
-        v = schema.get("multipleOf")
-        if _is_schema_number(v):
+        if mult is not None:
             # exact decimal numeric_mod(x, m) == 0 (:1064-1080), so
             # 4.5 multipleOf 1.5 is true (sql/json_schema_validate.sql:329)
-            if data_is_int and type(v) is int and v != 0:
-                bad = data % v != 0
+            if data_is_int and type(mult) is int and mult != 0:
+                bad = data % mult != 0
             else:
-                bad = to_decimal(data) % to_decimal(v) != 0
+                bad = to_decimal(data) % to_decimal(mult) != 0
             if bad:
                 _append_error(errors, path, "Value is not a multiple of multipleOf")
                 valid = False
