@@ -78,6 +78,10 @@ class Evaluator:
         # dict lookups + keyword-type validations per NUMBER per element in
         # the hot items loop.
         self._num_plans: dict = {}
+        # dispatch plans: per-subschema keyword-presence flags (same id()
+        # memo rationale) — lets the per-element hot loop skip whole check
+        # families without re-probing the dict twelve times per value
+        self._dispatch_plans: dict = {}
 
     # -- top level -------------------------------------------------------
 
@@ -103,16 +107,25 @@ class Evaluator:
 
         valid = True
 
-        ref = schema.get("$ref")
-        if isinstance(ref, str) and root is not None:
-            resolved, found = self._resolve_ref(ref, root)
-            if found:
-                if not self._validate(data, resolved, path, errors, root):
+        plan = self._dispatch_plans.get(id(schema))
+        if plan is None:
+            plan = ("$ref" in schema, "enum" in schema, "const" in schema,
+                    "allOf" in schema or "anyOf" in schema or "oneOf" in schema
+                    or "not" in schema, "if" in schema)
+            self._dispatch_plans[id(schema)] = plan
+        has_ref, has_enum, has_const, has_comp, has_if = plan
+
+        if has_ref:
+            ref = schema.get("$ref")
+            if isinstance(ref, str) and root is not None:
+                resolved, found = self._resolve_ref(ref, root)
+                if found:
+                    if not self._validate(data, resolved, path, errors, root):
+                        valid = False
+                else:
+                    _append_error(errors, path, "Could not resolve $ref")
                     valid = False
-            else:
-                _append_error(errors, path, "Could not resolve $ref")
-                valid = False
-            # siblings of $ref still evaluated (:406-408)
+                # siblings of $ref still evaluated (:406-408)
 
         if "type" in schema:
             type_val = schema["type"]
@@ -123,32 +136,33 @@ class Evaluator:
                     f"Expected type {expected} but got {json_type_name(data)}")
                 valid = False
 
-        if "enum" in schema and not self._check_enum(data, schema["enum"]):
+        if has_enum and not self._check_enum(data, schema["enum"]):
             _append_error(errors, path, "Value not in enum")
             valid = False
 
-        if "const" in schema and not scalars_equal(data, schema["const"]):
+        if has_const and not scalars_equal(data, schema["const"]):
             _append_error(errors, path, "Value does not match const")
             valid = False
 
-        if "allOf" in schema:
-            if not self._check_all_of(data, schema["allOf"], path, errors, root):
-                valid = False
+        if has_comp:
+            if "allOf" in schema:
+                if not self._check_all_of(data, schema["allOf"], path, errors, root):
+                    valid = False
 
-        if "anyOf" in schema:
-            if not self._check_any_of(data, schema["anyOf"], path, errors, root):
-                valid = False
+            if "anyOf" in schema:
+                if not self._check_any_of(data, schema["anyOf"], path, errors, root):
+                    valid = False
 
-        if "oneOf" in schema:
-            if not self._check_one_of(data, schema["oneOf"], path, errors, root):
-                valid = False
+            if "oneOf" in schema:
+                if not self._check_one_of(data, schema["oneOf"], path, errors, root):
+                    valid = False
 
-        if "not" in schema:
-            if self._validate(data, schema["not"], path, None, root):
-                _append_error(errors, path, "Value must not match the schema in 'not'")
-                valid = False
+            if "not" in schema:
+                if self._validate(data, schema["not"], path, None, root):
+                    _append_error(errors, path, "Value must not match the schema in 'not'")
+                    valid = False
 
-        if not self._check_if_then_else(data, schema, path, errors, root):
+        if has_if and not self._check_if_then_else(data, schema, path, errors, root):
             valid = False
 
         if isinstance(data, str):
