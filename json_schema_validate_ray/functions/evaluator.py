@@ -483,26 +483,35 @@ class Evaluator:
                 valid = False
         return valid
 
+    def _array_plan(self, schema: dict):
+        """Memoized array-keyword extraction (bounds pre-converted; same
+        id() rationale as _numeric_plan)."""
+        key = id(schema)
+        plan = self._num_plans.get(("arr", key))
+        if plan is None:
+            v = schema.get("minItems")
+            mn = numeric_to_int(v) if _is_schema_number(v) else None
+            v = schema.get("maxItems")
+            mx = numeric_to_int(v) if _is_schema_number(v) else None
+            plan = (mn, mx)
+            self._num_plans[("arr", key)] = plan
+        return plan
+
     def _check_array_constraints(self, data: list, schema, path, errors, root) -> bool:
         # check_array_constraints, json_schema_validate.c:1089-1282
         valid = True
         count = len(data)
 
-        v = schema.get("minItems")
-        if _is_schema_number(v):
-            bound = numeric_to_int(v)
-            if count < bound:
-                _append_error(errors, path,
-                              f"Array has {count} items, minimum is {bound}")
-                valid = False
+        mn, mx = self._array_plan(schema)
+        if mn is not None and count < mn:
+            _append_error(errors, path,
+                          f"Array has {count} items, minimum is {mn}")
+            valid = False
 
-        v = schema.get("maxItems")
-        if _is_schema_number(v):
-            bound = numeric_to_int(v)
-            if count > bound:
-                _append_error(errors, path,
-                              f"Array has {count} items, maximum is {bound}")
-                valid = False
+        if mx is not None and count > mx:
+            _append_error(errors, path,
+                          f"Array has {count} items, maximum is {mx}")
+            valid = False
 
         unique_val = schema.get("uniqueItems")
         if unique_val is True:
