@@ -83,20 +83,32 @@ def exact_dedup_survivors(ds, text_column: str = "text", id_column: str = "doc_i
 
 
 def exact_dedup_summary(ds, text_column: str = "text", id_column: str = "doc_id") -> pa.Table:
-    """One-row summary: n_docs, n_unique, n_dup_docs.  Distinct counting via
-    the combiner + stable-hash-bucket pattern (stages/checks
-    .exact_distinct_count): within-batch repeats collapse before the shuffle
-    and the exchange moves int32-bucketed rows, not a sort of every md5
-    string (the native groupby(fingerprint) path)."""
-    from ..stages.checks import exact_distinct_count
+    """One-row summary: n_docs, n_unique, n_dup_docs — in a SINGLE scan of
+    the input.  Each batch fingerprints, collapses within-batch repeats via
+    ``value_counts`` (the combiner), and tags a stable int32 hash bucket; the
+    row count rides along as the sum of the partial counts (``value_counts``
+    includes the null group, so the sum is exactly the batch size).  Each
+    bucket then reports (local distinct, local row total) and the driver adds
+    the tiny per-bucket rows — no second pass for the count."""
+    from ..stages.checks import _bucketed_partial_counts
 
-    counts = ds.map_batches(
-        lambda b: pa.table({"n": pa.array([b.num_rows], type=pa.int64())}),
-        batch_format="pyarrow").take_all()
-    n_docs = sum(r["n"] for r in counts)
-    fps = ds.map_batches(lambda b: _fingerprint_batch(b, text_column, id_column),
-                         batch_format="pyarrow")
-    n_unique = exact_distinct_count(fps, "fingerprint")
+    def partial(b: pa.Table) -> pa.Table:
+        fps = _fingerprint_batch(b, text_column, id_column)
+        return _bucketed_partial_counts(fps, "fingerprint", 256)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(g):
+        return pa.table({
+            # nunique skips the null fingerprint group — count(DISTINCT) parity
+            "n_unique": pa.array([g["fingerprint"].nunique()], type=pa.int64()),
+            "n_rows": pa.array([int(g["partial_count"].sum())], type=pa.int64()),
+        })
+
+    rows = partials.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas").take_all()
+    n_docs = sum(r["n_rows"] for r in rows)
+    n_unique = sum(r["n_unique"] for r in rows)
     return pa.table({
         "n_docs": pa.array([n_docs], type=pa.int64()),
         "n_unique": pa.array([n_unique], type=pa.int64()),

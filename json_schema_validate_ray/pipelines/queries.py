@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.tokens import MAX_TOKENS, SOURCES, VOCAB_SIZE, write_tokens_parquet
-from ..stages.checks import column_stats, duplicate_keys
+from ..stages.checks import duplicate_keys
 from ..stages.multimodal import MediaFeatureExtractor, synth_media_batch
 from ..stages.text import (
     DEFAULT_STOPWORDS,
@@ -575,22 +575,21 @@ def q_stopword_stats(sf_dir: str):
     (round(10000 * ratio)) so the distributed sum is EXACT and the final
     division is bit-identical to the serial SQL oracle — no float summation
     order sensitivity."""
+    from ..stages.text import stopword_counts_arrow, token_counts_arrow
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
     stop = set(DEFAULT_STOPWORDS)
 
     def partial(batch: pa.Table) -> pa.Table:
-        total = 0
-        n = 0
-        for t in batch["text"].to_pylist():
-            n += 1
-            toks = tokenize(t) if t else []
-            if toks:
-                sw = sum(1 for w in toks if w in stop)
-                # half-away-from-zero to match DuckDB round(), not Python's
-                # banker's rounding
-                total += int(np.floor(10000 * sw / len(toks) + 0.5))
+        # vectorized: RE2 token counts + segmented stopword membership; the
+        # per-row ratio stays integer-scaled (floor(10000*sw/ntok + 0.5),
+        # DuckDB's half-away-from-zero round) so the distributed sum is exact
+        n = batch.num_rows
+        ntok = token_counts_arrow(batch["text"]).to_numpy(zero_copy_only=False)
+        sw = stopword_counts_arrow(batch["text"], stop, n)
+        has = ntok > 0
+        scaled = np.floor(10000 * sw[has] / ntok[has] + 0.5).astype(np.int64)
         return pa.table({"n": pa.array([n], type=pa.int64()),
-                         "s": pa.array([total], type=pa.int64())})
+                         "s": pa.array([int(scaled.sum())], type=pa.int64())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
     n = sum(r["n"] for r in partials)
@@ -654,37 +653,52 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 """
 
 
+def _arrow_group_head(tbl: pa.Table, group_col: str, k: int,
+                      sort_keys: list[tuple]) -> pa.Table:
+    """First k rows per group value after an Arrow ``sort_by`` — the
+    group-head kernel: dictionary-encode the group column, compute each row's
+    occurrence index within its group with one stable argsort + bincount
+    (vectorized cumcount), keep occurrence < k.  No pandas."""
+    t = tbl.sort_by(sort_keys)
+    if t.num_rows == 0:
+        return t
+    inv = pc.dictionary_encode(t[group_col].combine_chunks()) \
+        .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    occ = np.empty(len(inv), dtype=np.int64)
+    occ[order] = np.arange(len(inv)) - np.repeat(starts, counts)
+    return t.filter(pa.array(occ < k))
+
+
 def q_topk_per_group_documents(sf_dir: str):
     """Per-group top-k (3 longest docs per lang) via the COMBINER pattern:
     every batch emits only its local per-lang top-3 (tiny), the final merge
-    re-selects over the union — no full-row shuffle, no window function."""
+    re-selects over the union — no full-row shuffle, no window function.
+    Both the partial and the merge are the Arrow sort_by + group-head kernel
+    (_arrow_group_head): no pandas anywhere in the path."""
     k = 3
+    rank = [("n_chars", "descending"), ("doc_id", "ascending")]
 
     def partial_topk(b: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = pd.DataFrame({"lang": b["lang"].to_pylist(),
-                           "doc_id": b["doc_id"].to_pylist(),
-                           "n_chars": b["n_chars"].to_pylist()})
-        top = (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-                 .groupby("lang", sort=False).head(k))
-        return pa.table({"lang": pa.array(top["lang"], type=pa.string()),
-                         "doc_id": pa.Array.from_pandas(top["doc_id"]),
-                         "n_chars": pa.array(top["n_chars"], type=pa.int64())})
+        top = _arrow_group_head(b.select(["lang", "doc_id", "n_chars"]),
+                                "lang", k, rank)
+        return pa.table({"lang": pc.cast(top["lang"], pa.string()),
+                         "doc_id": top["doc_id"],
+                         "n_chars": pc.cast(top["n_chars"], pa.int64())})
 
     ds = _rd().read_parquet(_t(sf_dir, "documents"),
                             columns=["doc_id", "lang", "n_chars"])
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     # final merge over the tiny union (<= k x langs x blocks rows)
     tbl = pa.Table.from_pylist(partials.take_all())
-    import pandas as pd
-    df = tbl.to_pandas()
-    top = (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-             .groupby("lang", sort=False).head(k))
-    top = top.sort_values(["lang", "n_chars", "doc_id"],
-                          ascending=[True, False, True])
-    return pa.table({"lang": pa.array(top["lang"], type=pa.string()),
-                     "doc_id": pa.Array.from_pandas(top["doc_id"]).cast(pa.int64()),
-                     "n_chars": pa.array(top["n_chars"], type=pa.int64())})
+    top = _arrow_group_head(tbl, "lang", k, rank)
+    top = top.sort_by([("lang", "ascending"), ("n_chars", "descending"),
+                       ("doc_id", "ascending")])
+    return pa.table({"lang": top["lang"],
+                     "doc_id": pc.cast(top["doc_id"], pa.int64()),
+                     "n_chars": top["n_chars"]})
 
 
 SQL_TOPK_PER_GROUP_DOCUMENTS = """
@@ -786,8 +800,13 @@ def q_prefix_bucket_dups(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
     def keys(batch: pa.Table) -> pa.Table:
-        out = [" ".join(tokenize(t)[:5]) if t else "" for t in batch["text"].to_pylist()]
-        return pa.table({"bucket_key": pa.array(out, type=pa.string())})
+        # vectorized first-5-token key: trim -> RE2 split -> slice -> join
+        # (blank text splits to [''] and joins back to '', matching the
+        # per-row path and the SQL [1:5] slice); null text keys as ''
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+        key = pc.fill_null(pc.binary_join(pc.list_slice(toks, 0, 5), " "), "")
+        return pa.table({"bucket_key": key})
 
     counted = ds.map_batches(keys, batch_format="pyarrow") \
         .groupby("bucket_key").aggregate(Count(alias_name="n_docs"))
@@ -877,10 +896,13 @@ def q_ann_srp_topk(sf_dir: str):
 
 
 def q_embedding_norm_stats(sf_dir: str):
+    from .similarity import matrix_from_list_array
     ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        # zero-copy list<float> -> (n, d) matrix (flatten + reshape), then
+        # float64 math to keep the oracle's rounding
+        vecs = matrix_from_list_array(batch["embedding"]).astype(np.float64)
         norms = np.sqrt((vecs * vecs).sum(axis=1)) if len(vecs) else np.zeros(0)
         return pa.table({
             "n": pa.array([len(norms)], type=pa.int64()),
@@ -1466,34 +1488,31 @@ def q_tokens_verdicts(sf_dir: str):
 
 
 def q_tokens_column_stats(sf_dir: str):
-    """Per-column stats over the tokens table with EXACT distinct counts
-    (combiner + hash-bucket shuffle, stages/checks.exact_distinct_count).
-    The HLL-sketch NDV estimate stays on the column_stats library surface for
-    the shuffle-free path; this query reports exact values so the SQL oracle
-    applies."""
-    from ..stages.checks import exact_distinct_count
+    """Per-column stats over the tokens table with EXACT distinct counts for
+    doc_id and source — ONE scan of the parquet and ONE bucketed shuffle
+    carrying both columns' distinct-key sets plus the stats partials
+    (stages/checks.stats_and_exact_ndv).  The HLL-sketch NDV estimate stays
+    on the column_stats library surface for the shuffle-free path; this query
+    reports exact values so the SQL oracle applies."""
+    from ..stages.checks import stats_and_exact_ndv
     import ray.data as rd
     tdir = _tokens_dir_for(sf_dir)
     ds = rd.read_parquet(tdir)
-    stats = column_stats(ds, ["doc_id", "tokens", "n_tok", "source"],
-                         ndv_columns=[])
-    ndv = {col: exact_distinct_count(
-        rd.read_parquet(tdir, columns=[col]), col)
-        for col in ("doc_id", "source")}
+    columns = ["doc_id", "tokens", "n_tok", "source"]
+    stats, ndv = stats_and_exact_ndv(ds, columns,
+                                     ndv_columns=["doc_id", "source"])
     out = {"column": [], "row_count": [], "null_count": [],
            "min_value": [], "max_value": [], "mean_value": [], "std_value": [],
            "ndv_exact": []}
-    for i in range(stats.num_rows):
-        col = stats["column"][i].as_py()
+    for col in columns:
+        cs = stats[col]
         out["column"].append(col)
-        out["row_count"].append(stats["row_count"][i].as_py())
-        out["null_count"].append(stats["null_count"][i].as_py())
-        out["min_value"].append(stats["min_value"][i].as_py())
-        out["max_value"].append(stats["max_value"][i].as_py())
-        mean = stats["mean_value"][i].as_py()
-        std = stats["std_value"][i].as_py()
-        out["mean_value"].append(None if mean is None else round(mean, 6))
-        out["std_value"].append(None if std is None else round(std, 6))
+        out["row_count"].append(cs.count)
+        out["null_count"].append(cs.nulls)
+        out["min_value"].append(None if cs.minimum is None else str(cs.minimum))
+        out["max_value"].append(None if cs.maximum is None else str(cs.maximum))
+        out["mean_value"].append(None if cs.mean is None else round(cs.mean, 6))
+        out["std_value"].append(None if cs.std is None else round(cs.std, 6))
         out["ndv_exact"].append(ndv.get(col))
     return pa.table({
         "column": pa.array(out["column"], type=pa.string()),

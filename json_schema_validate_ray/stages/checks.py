@@ -190,6 +190,113 @@ def exact_distinct_count(ds, key: str, batch_size: int = 65536,
     return sum(r["n"] for r in per_bucket.take_all())
 
 
+def stats_and_exact_ndv(ds, columns: list[str], ndv_columns: list[str],
+                        batch_size: int | None = None,
+                        n_buckets: int = 256) -> tuple[dict, dict[str, int]]:
+    """Per-column stats AND exact NDV for several columns in ONE scan and ONE
+    bucketed shuffle.
+
+    Every batch emits a mixed partial table: one stats-blob row per column
+    (routed to that column's fixed bucket, so each column's stats merge
+    completes inside a single reduce group) plus the batch's distinct
+    (column, key) rows for each NDV column (combiner: ``value_counts``
+    collapses within-batch repeats; stable-hash bucket on the key string
+    partitions the key space, so per-bucket distinct counts sum exactly).
+    Keys ride as strings — callers pass string-or-integer key columns whose
+    distinctness survives the cast.
+
+    Returns ({column: ColumnStats}, {column: exact_ndv})."""
+    import hashlib
+
+    from ..state.sketches import _hash64
+
+    ndv_cols = list(ndv_columns)
+    # deterministic per-column bucket for the stats rows (Python's builtin
+    # hash is per-process salted — every worker must agree)
+    stats_bucket = {
+        col: int.from_bytes(hashlib.md5(col.encode()).digest()[:4], "little")
+        % n_buckets for col in columns}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("column", pa.string()), ("key", pa.string()),
+                            ("stats", pa.binary()), ("bucket", pa.int32())])
+        cols, blobs, buckets = [], [], []
+        for col in columns:
+            if col not in batch.column_names:
+                continue
+            arr = batch[col]
+            cs = ColumnStats()
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                cs.update_arrow(pc.list_value_length(arr))
+            else:
+                cs.update_arrow(arr)
+            cols.append(col)
+            blobs.append(cs.to_bytes())
+            buckets.append(stats_bucket[col])
+        parts = [pa.table({
+            "column": pa.array(cols, type=pa.string()),
+            "key": pa.array([None] * len(cols), type=pa.string()),
+            "stats": pa.array(blobs, type=pa.binary()),
+            "bucket": pa.array(buckets, type=pa.int32()),
+        }, schema=schema)]
+        for col in ndv_cols:
+            if col not in batch.column_names:
+                continue
+            # combiner: the batch's DISTINCT keys only (nulls excluded —
+            # count(DISTINCT) parity); fully vectorized, no per-key Python
+            vals = pc.cast(batch[col].combine_chunks().unique().drop_null()
+                           if isinstance(batch[col], pa.ChunkedArray)
+                           else batch[col].unique().drop_null(), pa.string())
+            b = (_hash64(vals) % np.uint64(n_buckets)).astype(np.int32)
+            parts.append(pa.table({
+                "column": pa.array([col] * len(vals), type=pa.string()),
+                "key": vals,
+                "stats": pa.array([None] * len(vals), type=pa.binary()),
+                "bucket": pa.array(b),
+            }, schema=schema))
+        return pa.concat_tables(parts)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              **({} if batch_size is None
+                                 else {"batch_size": batch_size}))
+
+    def merge_bucket(g):
+        out_col, out_stats, out_n = [], [], []
+        stats_rows = g[g["stats"].notna()]
+        for col, grp in stats_rows.groupby("column", sort=False):
+            merged = None
+            for blob in grp["stats"]:
+                cs = ColumnStats.from_bytes(blob)
+                merged = cs if merged is None else merged.merge(cs)
+            out_col.append(col)
+            out_stats.append(merged.to_bytes())
+            out_n.append(None)
+        ndv_rows = g[g["stats"].isna()]
+        if len(ndv_rows):
+            for col, grp in ndv_rows.groupby("column", sort=False):
+                out_col.append(col)
+                out_stats.append(None)
+                out_n.append(int(grp["key"].nunique()))
+        return pa.table({
+            "column": pa.array(out_col, type=pa.string()),
+            "stats": pa.array(out_stats, type=pa.binary()),
+            "n_unique": pa.array(out_n, type=pa.int64()),
+        })
+
+    rows = partials.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas").take_all()
+    stats: dict[str, ColumnStats] = {}
+    ndv: dict[str, int] = {c: 0 for c in ndv_cols}
+    for r in rows:
+        if r["stats"] is not None:
+            cs = ColumnStats.from_bytes(r["stats"])
+            col = r["column"]
+            stats[col] = stats[col].merge(cs) if col in stats else cs
+        else:
+            ndv[r["column"]] += r["n_unique"]
+    return stats, ndv
+
+
 def exact_bounded_quantiles(ds, column: str, quantiles: list[float],
                             lo: int, hi: int, of_list_lengths: bool = False,
                             batch_size: int = 65536) -> tuple[list, int]:

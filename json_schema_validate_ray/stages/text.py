@@ -42,6 +42,50 @@ def token_count_batch(texts: list) -> np.ndarray:
                     dtype=np.int64)
 
 
+def _as_array(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def token_counts_arrow(arr) -> pa.Array:
+    """Vectorized whitespace token count: number of ``\\S+`` runs — identical
+    to ``len(tokenize(t))`` and to the SQL oracle
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` (0 for empty/blank,
+    0 for null).  One RE2 kernel pass instead of a Python loop per row."""
+    import pyarrow.compute as pc
+    return pc.fill_null(
+        pc.cast(pc.count_substring_regex(arr, r"\S+"), pa.int64()), 0)
+
+
+def split_tokens_arrow(arr, lower: bool = False, limit: int | None = None):
+    """Vectorized whitespace tokenization of a string column -> list<string>
+    (same tokens as ``tokenize``: trim, split on ``\\s+``; blank text yields
+    [''] — callers that need counts use ``token_counts_arrow`` instead).
+    Returns the list array plus flat tokens and per-token parent row indices
+    for segmented (per-row) reductions."""
+    import pyarrow.compute as pc
+    a = _as_array(arr)
+    if lower:
+        a = pc.utf8_lower(a)
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(a), r"\s+")
+    if limit is not None:
+        toks = pc.list_slice(toks, 0, limit)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    return toks, flat, parent
+
+
+def stopword_counts_arrow(arr, stopwords, n_rows: int) -> np.ndarray:
+    """Per-row stopword occurrence counts, fully vectorized: split -> flatten
+    -> ``is_in`` membership -> segmented sum via ``np.bincount`` on the list
+    parent indices.  Matches the per-row ``sum(w in stopwords)`` loop."""
+    import pyarrow.compute as pc
+    _, flat, parent = split_tokens_arrow(arr)
+    member = pc.fill_null(
+        pc.is_in(flat, value_set=pa.array(sorted(stopwords))), False) \
+        .to_numpy(zero_copy_only=False)
+    return np.bincount(parent[member], minlength=n_rows).astype(np.int64)
+
+
 class TextNormalizer:
     """Appends ``text_norm``: lowercase, whitespace runs collapsed to one
     space, stripped — the standard pre-dedup canonicalization.  Fully
@@ -66,17 +110,22 @@ class TokenCounter:
     """Appends ``n_tokens`` (whitespace) and ``n_bpe_ish`` (a BPE-ish regex
     token count: word pieces + digits + punctuation runs)."""
 
+    BPE_ISH = r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"
+
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
-        self.bpe_ish = re.compile(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        n_ws = token_count_batch(texts)
-        n_bpe = np.array([0 if t is None else len(self.bpe_ish.findall(t))
-                          for t in texts], dtype=np.int64)
-        return (batch.append_column("n_tokens", pa.array(n_ws))
-                     .append_column("n_bpe_ish", pa.array(n_bpe)))
+        # both counts are non-overlapping RE2 match counts — one vectorized
+        # kernel pass each, no Python loop (count parity with re.findall
+        # verified incl. non-ASCII)
+        import pyarrow.compute as pc
+        arr = batch[self.text_column]
+        n_ws = token_counts_arrow(arr)
+        n_bpe = pc.fill_null(
+            pc.cast(pc.count_substring_regex(arr, self.BPE_ISH), pa.int64()), 0)
+        return (batch.append_column("n_tokens", n_ws)
+                     .append_column("n_bpe_ish", n_bpe))
 
 
 class QualityScorer:
@@ -84,30 +133,40 @@ class QualityScorer:
     ``mean_token_len``, ``punct_ratio``, ``quality_score`` (a simple
     composable heuristic in [0,1])."""
 
+    # RE2 class equivalent to Python re's unicode [^\w\s] (\w = letters +
+    # numbers + underscore in both engines)
+    PUNCT = r"[^\p{L}\p{N}_\s]"
+
     def __init__(self, text_column: str = "text",
                  stopwords: frozenset = DEFAULT_STOPWORDS):
         self.text_column = text_column
         self.stopwords = set(stopwords)
-        self.punct = re.compile(r"[^\w\s]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        n = len(texts)
-        n_tok = np.zeros(n, dtype=np.int64)
-        stop_ratio = np.zeros(n, dtype=np.float64)
-        mean_len = np.zeros(n, dtype=np.float64)
-        punct_ratio = np.zeros(n, dtype=np.float64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = tokenize(t)
-            if not toks:
-                continue
-            n_tok[i] = len(toks)
-            sw = sum(1 for w in toks if w in self.stopwords)
-            stop_ratio[i] = sw / len(toks)
-            mean_len[i] = sum(len(w) for w in toks) / len(toks)
-            punct_ratio[i] = len(self.punct.findall(t)) / max(1, len(t))
+        # all four features are vectorized RE2-kernel counts + segmented
+        # numpy sums — no Python loop over rows:
+        #   n_tok        = #(\S+ runs)
+        #   sum(len(w))  = #(\S chars)   (tokens partition the non-ws chars)
+        #   punct count  = #([^\w\s])    (only rows with tokens score, as
+        #                                 in the per-row reference loop)
+        import pyarrow.compute as pc
+        arr = batch[self.text_column]
+        n = batch.num_rows
+        n_tok = token_counts_arrow(arr).to_numpy(zero_copy_only=False)
+        sw = stopword_counts_arrow(arr, self.stopwords, n)
+        nonws_chars = pc.fill_null(pc.cast(
+            pc.count_substring_regex(arr, r"\S"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        n_punct = pc.fill_null(pc.cast(
+            pc.count_substring_regex(arr, self.PUNCT), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        text_len = pc.fill_null(pc.cast(pc.utf8_length(arr), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        has = n_tok > 0
+        denom = np.where(has, n_tok, 1).astype(np.float64)
+        stop_ratio = np.where(has, sw / denom, 0.0)
+        mean_len = np.where(has, nonws_chars / denom, 0.0)
+        punct_ratio = np.where(has, n_punct / np.maximum(1, text_len), 0.0)
         score = np.clip(
             0.5 * np.clip(stop_ratio / 0.4, 0, 1)
             + 0.3 * np.clip((mean_len - 1.5) / 5.0, 0, 1)
@@ -120,29 +179,50 @@ class QualityScorer:
 
 
 class LanguageId:
-    """Appends ``lang_pred``: stopword-marker + Han-script heuristic."""
+    """Appends ``lang_pred``: stopword-marker + Han-script heuristic.
+
+    Vectorized: one split/flatten pass, marker lookup via ``pc.index_in``
+    against the combined marker vocabulary, DISTINCT (row, marker) pairs via
+    ``np.unique`` on a fused key, per-language hit counts via ``np.add.at``,
+    first-max-wins argmax in the declaration order (en > de > fr > es —
+    exactly the per-row strict-``>`` loop's tie-break)."""
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
         self.markers = {k: v for k, v in _LANG_MARKERS.items()}
+        self.langs = [l for l in self.markers if self.markers[l]]
+        vocab, lang_of = [], []
+        for li, lang in enumerate(self.langs):
+            for w in sorted(self.markers[lang]):
+                vocab.append(w)
+                lang_of.append(li)
+        self.vocab = pa.array(vocab, type=pa.string())
+        self.lang_of = np.asarray(lang_of, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        preds = []
-        for t in texts:
-            if not t:
-                preds.append(None)
-                continue
-            if _HAN.search(t):
-                preds.append("zh")
-                continue
-            toks = set(w.lower() for w in tokenize(t)[:200])
-            best, best_hits = "en", -1
-            for lang, markers in self.markers.items():
-                hits = len(toks & markers)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
+        import pyarrow.compute as pc
+        arr = _as_array(batch[self.text_column])
+        n = batch.num_rows
+        _, flat, parent = split_tokens_arrow(arr, lower=True, limit=200)
+        vid = pc.index_in(flat, value_set=self.vocab) \
+            .to_numpy(zero_copy_only=False)          # float64 with NaN misses
+        hit = ~np.isnan(vid)
+        V = len(self.vocab)
+        # distinct (row, marker) pairs: the heuristic counts each marker once
+        pair = np.unique(parent[hit] * V + vid[hit].astype(np.int64))
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        np.add.at(hits, (pair // V, self.lang_of[pair % V]), 1)
+        best = np.argmax(hits, axis=1)               # first max wins
+        preds = np.asarray(self.langs, dtype=object)[best]
+        han = pc.fill_null(
+            pc.match_substring_regex(arr, r"[\x{4e00}-\x{9fff}]"), False) \
+            .to_numpy(zero_copy_only=False)
+        preds[han] = "zh"
+        # null / empty text predicts null (per-row path parity)
+        empty = pc.fill_null(pc.equal(arr, ""), True).to_numpy(zero_copy_only=False)
+        preds = preds.tolist()
+        for i in np.nonzero(empty)[0]:
+            preds[i] = None
         return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
 
 
