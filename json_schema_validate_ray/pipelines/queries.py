@@ -777,6 +777,95 @@ SELECT lang = pred AS match, count(*) AS n FROM p GROUP BY match
 """
 
 
+def q_vocab_top_tokens(sf_dir: str):
+    """Corpus term frequency, top 20 tokens (the vocabulary-building
+    primitive): split -> flatten -> per-batch ``value_counts`` combiner ->
+    groupby-sum over the (bounded-cardinality) token key -> tiny sort+limit.
+    The combiner bounds any token's shuffle rows to #blocks, so the exchange
+    is O(vocab x blocks) regardless of corpus size."""
+    from ..stages.text import split_tokens_arrow
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, flat, _ = split_tokens_arrow(b["text"])
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        t = pa.table({"token": vc.field("values"),
+                      "partial_count": vc.field("counts").cast(pa.int64())})
+        # blank rows tokenize to [''] — the SQL splits only non-blank text
+        return t.filter(pc.and_kleene(pc.is_valid(t["token"]),
+                                      pc.not_equal(t["token"], "")))
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    totals = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("partial_count")
+    tbl = pa.Table.from_pylist(totals.take_all())
+    tbl = pa.table({"token": pc.cast(tbl["token"], pa.string()),
+                    "n": pc.cast(tbl["sum(partial_count)"], pa.int64())})
+    return tbl.sort_by([("n", "descending"), ("token", "ascending")]) \
+              .slice(0, 20)
+
+
+SQL_VOCAB_TOP_TOKENS = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> '')
+SELECT token, count(*) AS n FROM t GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def q_repetition_stats_documents(sf_dir: str):
+    """Mean within-document token-repetition ratio (the Gopher-style
+    repetitive-content quality signal): 1 - n_distinct_tokens/n_tokens per
+    doc, averaged.  Per-row distinct counts are fully vectorized — dictionary
+    -encode the flat token stream and ``np.unique`` the fused (row, token-id)
+    keys; ratios are integer-scaled (floor(10000*r + 0.5), DuckDB's
+    half-away-from-zero round) so the distributed sum is exact."""
+    from ..stages.text import split_tokens_arrow, token_counts_arrow
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ntok = token_counts_arrow(b["text"]).to_numpy(zero_copy_only=False)
+        _, flat, parent = split_tokens_arrow(b["text"])
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            V = len(enc.dictionary)
+            pairs = np.unique(parent * V + idx)
+            ndist = np.bincount(pairs // V, minlength=n)
+        else:
+            ndist = np.zeros(n, dtype=np.int64)
+        has = ntok > 0
+        scaled = np.floor(10000 * (1.0 - ndist[has] / ntok[has]) + 0.5) \
+            .astype(np.int64)
+        return pa.table({"n": pa.array([n], type=pa.int64()),
+                         "s": pa.array([int(scaled.sum())], type=pa.int64())})
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in partials)
+    s = sum(r["s"] for r in partials)
+    return pa.table({
+        "n_docs": pa.array([n], type=pa.int64()),
+        "avg_repetition_ratio": pa.array([round(s / n / 10000.0, 6)],
+                                         type=pa.float64())})
+
+
+SQL_REPETITION_STATS_DOCUMENTS = r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents)
+SELECT count(*) AS n_docs,
+       round(sum(CASE WHEN len(toks) = 0 THEN 0
+                      ELSE cast(round(10000 * (1.0 - len(list_distinct(toks))
+                           * 1.0 / len(toks))) AS BIGINT) END)
+             / count(*) / 10000.0, 6) AS avg_repetition_ratio
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -1572,6 +1661,9 @@ REGISTRY: dict[str, tuple] = {
     "topk_per_group_documents": (q_topk_per_group_documents,
                                  SQL_TOPK_PER_GROUP_DOCUMENTS),
     "lang_id_agreement": (q_lang_id_accuracy, SQL_LANG_ID_AGREEMENT),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
+    "repetition_stats_documents": (q_repetition_stats_documents,
+                                   SQL_REPETITION_STATS_DOCUMENTS),
     # dedup
     "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP_DOCUMENTS),
     "prefix_bucket_dups": (q_prefix_bucket_dups, SQL_PREFIX_BUCKET_DUPS),

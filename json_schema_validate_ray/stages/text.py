@@ -226,6 +226,36 @@ class LanguageId:
         return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
 
 
+class PiiRedactor:
+    """Appends ``text_redacted`` plus per-row match counts for the classic
+    training-data PII scrub: email addresses and long digit runs (phone-ish).
+    Pure RE2 kernel passes (``replace_substring_regex`` +
+    ``count_substring_regex``) — no per-row Python.  Patterns are
+    DuckDB-compatible (both engines are RE2) so the stage is SQL-oracle-able
+    on data that contains PII-shaped strings."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONEISH = r"\+?[0-9][0-9 ()./-]{6,}[0-9]"
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        arr = batch[self.text_column]
+        red = pc.replace_substring_regex(arr, self.EMAIL,
+                                         replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, self.PHONEISH,
+                                         replacement="<PHONE>")
+        n_email = pc.fill_null(pc.cast(
+            pc.count_substring_regex(arr, self.EMAIL), pa.int64()), 0)
+        n_phone = pc.fill_null(pc.cast(
+            pc.count_substring_regex(arr, self.PHONEISH), pa.int64()), 0)
+        return (batch.append_column("text_redacted", red)
+                     .append_column("n_emails", n_email)
+                     .append_column("n_phoneish", n_phone))
+
+
 class Fingerprinter:
     """Appends ``fingerprint`` (md5 hex of the raw text — matches the SQL
     ``md5(text)`` oracle) and ``rolling_hash`` (64-bit polynomial rolling

@@ -16,6 +16,7 @@ from json_schema_validate_ray.stages.text import (
     Fingerprinter,
     LanguageId,
     MinHasher,
+    PiiRedactor,
     QualityScorer,
     SimHasher,
     TokenCounter,
@@ -59,6 +60,21 @@ def test_language_id_heuristic():
         "这是一个中文句子",
     ]))
     assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "zh"]
+
+
+def test_pii_redactor():
+    out = PiiRedactor()(_docs([
+        "contact bob.smith+x@example.co.uk today",
+        "call +1 (415) 555-0199 or 020-7946-0958 now",
+        "no pii here",
+        "",
+    ]))
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "contact <EMAIL> today"
+    assert red[1] == "call <PHONE> or <PHONE> now"
+    assert red[2] == "no pii here"
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_phoneish"].to_pylist() == [0, 2, 0, 0]
 
 
 def test_fingerprinter_matches_md5():
