@@ -92,31 +92,64 @@ PROPS_EVENT_SCHEMA = {
 # relational / aggregation operators
 # ---------------------------------------------------------------------------
 
+def _cents(col) -> pa.Array:
+    """2-decimal float column -> exact int64 cents.  Money-style sums become
+    order-independent integer sums, so a distributed reduction is bit-equal
+    to any serial oracle — float summation order can otherwise flip the last
+    rounded digit (observed on sum(l_extendedprice) at sf0.01)."""
+    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+
+
 def q_pricing_summary(sf_dir: str):
-    """Grouped aggregate with combiner semantics (classic pricing summary)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """Grouped pricing summary as a pure COMBINER: each batch group-sums
+    locally with Arrow ``Table.group_by`` (quantities are integers — exact in
+    float64; money/discount as exact int64 cents), the driver merges the tiny
+    partials (<= 6 groups x blocks rows).  No shuffle at all, and every
+    aggregate is order-independent, so the result is bit-identical to the
+    serial SQL."""
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_linestatus", "l_quantity",
                                   "l_extendedprice", "l_discount"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
-    )
-    tbl = pa.Table.from_pylist(out.take_all())
-    tbl = _round_col(tbl, "sum_qty", 2)
-    tbl = _round_col(tbl, "sum_base_price", 2)
-    tbl = _round_col(tbl, "avg_disc", 6)
-    return tbl
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": b["l_quantity"],
+            "price_c": _cents(b["l_extendedprice"]),
+            "disc_c": _cents(b["l_discount"]),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
+             ("one", "sum")])
+
+    merged = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").take_all()) \
+        .group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty_sum", "sum"), ("price_c_sum", "sum"), ("disc_c_sum", "sum"),
+         ("one_sum", "sum")])
+    n = merged["one_sum_sum"].to_numpy(zero_copy_only=False)
+    price = merged["price_c_sum_sum"].to_numpy(zero_copy_only=False)
+    disc = merged["disc_c_sum_sum"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "l_returnflag": merged["l_returnflag"],
+        "l_linestatus": merged["l_linestatus"],
+        "sum_qty": pc.round(merged["qty_sum_sum"], ndigits=2),
+        "sum_base_price": pa.array(np.round(price / 100, 2), type=pa.float64()),
+        "avg_disc": pa.array(np.round(disc / 100 / n, 6), type=pa.float64()),
+        "count_order": pa.array(n, type=pa.int64()),
+    })
 
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)       AS sum_qty,
-       round(sum(l_extendedprice), 2)  AS sum_base_price,
-       round(avg(l_discount), 6)       AS avg_disc,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100, 2)                 AS sum_base_price,
+       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / count(*), 6)      AS avg_disc,
        count(*)                        AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -128,17 +161,23 @@ def q_column_stats_lineitem(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_quantity", "l_extendedprice"])
-    row = ds.aggregate(Count(alias_name="row_count"),
-                       Min("l_quantity", alias_name="min_qty"),
-                       Max("l_quantity", alias_name="max_qty"),
-                       Mean("l_quantity", alias_name="avg_qty"),
-                       Sum("l_extendedprice", alias_name="sum_price"))
+    cents = ds.map_batches(
+        lambda b: pa.table({"l_quantity": b["l_quantity"],
+                            "price_c": _cents(b["l_extendedprice"])}),
+        batch_format="pyarrow")
+    row = cents.aggregate(Count(alias_name="row_count"),
+                          Min("l_quantity", alias_name="min_qty"),
+                          Max("l_quantity", alias_name="max_qty"),
+                          Mean("l_quantity", alias_name="avg_qty"),
+                          Sum("price_c", alias_name="price_c"))
     return pa.table({
         "row_count": pa.array([int(row["row_count"])], type=pa.int64()),
         "min_qty": pa.array([float(row["min_qty"])], type=pa.float64()),
         "max_qty": pa.array([float(row["max_qty"])], type=pa.float64()),
         "avg_qty": pa.array([round(float(row["avg_qty"]), 6)], type=pa.float64()),
-        "sum_price": pa.array([round(float(row["sum_price"]), 2)], type=pa.float64()),
+        # money as exact int cents (see _cents): order-independent sum
+        "sum_price": pa.array([round(int(row["price_c"]) / 100, 2)],
+                              type=pa.float64()),
     })
 
 
@@ -147,7 +186,8 @@ SELECT count(*)                           AS row_count,
        cast(min(l_quantity) AS DOUBLE)    AS min_qty,
        cast(max(l_quantity) AS DOUBLE)    AS max_qty,
        round(avg(l_quantity), 6)          AS avg_qty,
-       round(sum(l_extendedprice), 2)     AS sum_price
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100, 2)                    AS sum_price
 FROM lineitem
 """
 
@@ -1029,20 +1069,30 @@ def q_join_orders_customers(sf_dir: str):
     key), then grouped totals per nation — the large-side x large-side path."""
     from ray.data.aggregate import Count, Sum
     rd = _rd()
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: pa.table({"o_custkey": b["o_custkey"],
+                                         "price_c": _cents(b["o_totalprice"])}),
+                     batch_format="pyarrow")
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     joined = orders.join(cust, join_type="inner", num_partitions=16,
                          on=("o_custkey",), right_on=("c_custkey",))
     out = joined.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="total_price"))
+        Sum("price_c", alias_name="price_c"))
     tbl = pa.Table.from_pylist(out.take_all())
-    return _round_col(tbl, "total_price", 2)
+    # exact int-cents sum (see _cents) -> order-independent result
+    total = pa.array(
+        np.round(tbl["price_c"].to_numpy(zero_copy_only=False) / 100, 2),
+        type=pa.float64())
+    return pa.table({"c_nationkey": pc.cast(tbl["c_nationkey"], pa.int64()),
+                     "n_orders": tbl["n_orders"],
+                     "total_price": total})
 
 
 SQL_JOIN_ORDERS_CUSTOMERS = """
-SELECT c_nationkey, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100, 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 """
@@ -1236,19 +1286,25 @@ def q_tumbling_daily_events(sf_dir: str):
     bucketed = ds.map_batches(
         lambda b: pa.table({
             "day": pc.floor_temporal(b["ts"], unit="day"),
-            "value": b["value"]}),
+            "value_c": _cents(b["value"])}),
         batch_format="pyarrow")
     out = bucketed.groupby("day").aggregate(
         Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"))
+        Sum("value_c", alias_name="value_c"))
     tbl = pa.Table.from_pylist(out.take_all())
-    return _round_col(tbl, "sum_value", 2)
+    # exact int-cents sum (see _cents) -> order-independent result
+    sum_value = pa.array(
+        np.round(tbl["value_c"].to_numpy(zero_copy_only=False) / 100, 2),
+        type=pa.float64())
+    return pa.table({"day": tbl["day"], "n_events": tbl["n_events"],
+                     "sum_value": sum_value})
 
 
 SQL_TUMBLING_DAILY_EVENTS = """
-SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
-FROM events GROUP BY day
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100, 2) AS sum_value
+FROM events GROUP BY date_trunc('day', ts)
 """
 
 
@@ -1466,7 +1522,7 @@ SELECT doc_id, n_violations = 0 AS valid, n_violations FROM v
 SELECT count(*) AS n_rows,
        count(*) FILTER (WHERE n_violations > 0) AS invalid_rows,
        CAST(sum(n_violations) AS BIGINT) AS violation_rows,
-       8 AS partitions
+       CAST(8 AS BIGINT) AS partitions
 FROM v
 """,
         "tokens_validation_summary": verdict_cte + """
