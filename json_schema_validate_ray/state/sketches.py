@@ -17,21 +17,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _hash64(arr) -> np.ndarray:
+# Independent polynomial primes for seeded string hashing: two keys that
+# collide under one prime are (for natural inputs) independent under the
+# other, so the (seed 0, seed 1) hash pair behaves like a 128-bit hash.
+_HASH_PRIMES = (0x100000001B3, 0x00000100000001B5)
+_SEED_MIX = (0, 0x6C62272E07BB0142)
+
+
+def _hash64(arr, seed: int = 0) -> np.ndarray:
     """Stable vectorized 64-bit hash of an Arrow array's values.
 
     Uses xxhash-free splitmix64 finalization over per-value CRC-free byte
     hashes: string/binary values are hashed via numpy from their UTF-8 bytes,
     numeric values from their bit patterns.  Deterministic across workers and
-    runs (no PYTHONHASHSEED dependence)."""
+    runs (no PYTHONHASHSEED dependence).  ``seed`` selects an independent
+    hash family (different polynomial prime for strings; for 64-bit numerics
+    the map is a bijection at every seed, hence collision-FREE)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_floating(arr.type):
         v = arr.fill_null(0).to_numpy(zero_copy_only=False)
         x = v.astype(np.float64, copy=False).view(np.uint64).copy()
+        x ^= np.uint64(_SEED_MIX[seed])
     elif pa.types.is_integer(arr.type):
         v = arr.fill_null(0).to_numpy(zero_copy_only=False)
         x = v.astype(np.int64, copy=False).view(np.uint64).copy()
+        x ^= np.uint64(_SEED_MIX[seed])
     else:
         arr = arr.cast(pa.string())
         # vectorized FNV-1a over the raw value buffer using offsets
@@ -39,7 +50,7 @@ def _hash64(arr) -> np.ndarray:
         buf = np.frombuffer(sarr.buffers()[2] or b"", dtype=np.uint8) if sarr.buffers()[2] else np.zeros(0, np.uint8)
         offs = np.frombuffer(sarr.buffers()[1], dtype=np.int32)[sarr.offset:sarr.offset + len(sarr) + 1].astype(np.int64)
         # per-value polynomial hash via segmented evaluation
-        x = _segmented_bytes_hash(buf, offs)
+        x = _segmented_bytes_hash(buf, offs, prime=_HASH_PRIMES[seed])
     # splitmix64 finalizer
     x = (x + np.uint64(0x9E3779B97F4A7C15))
     x ^= x >> np.uint64(30); x = x * np.uint64(0xBF58476D1CE4E5B9)
@@ -48,7 +59,8 @@ def _hash64(arr) -> np.ndarray:
     return x
 
 
-def _segmented_bytes_hash(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
+def _segmented_bytes_hash(buf: np.ndarray, offs: np.ndarray,
+                          prime: int = 0x100000001B3) -> np.ndarray:
     """Vectorized per-segment polynomial byte hash: for segment s with bytes
     b_0..b_k, hash = sum(b_i * P^i) mod 2^64, xor'd with a length term.
     O(total_bytes) numpy; position weights looked up from a precomputed
@@ -66,7 +78,7 @@ def _segmented_bytes_hash(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
     powers[0] = 1
     if max_len > 1:
         np.multiply.accumulate(
-            np.full(max_len - 1, 0x100000001B3, dtype=np.uint64),  # FNV prime
+            np.full(max_len - 1, prime, dtype=np.uint64),
             out=powers[1:])
     contrib = buf[base:base + total].astype(np.uint64) * powers[pos_in_seg]
     out = np.zeros(n, dtype=np.uint64)
