@@ -126,6 +126,22 @@ def test_uniqueness_exact(ray_session, tokens_dir):
     assert hot.num_rows == 1 and hot["dup_count"][0].as_py() == N_ROWS // 1000
 
 
+def test_uniqueness_hash_first_matches_default(ray_session, tokens_dir):
+    """The hash-first two-phase variant (scale path for wide keys) must be
+    EXACT: identical (key, dup_count) rows to the single-shuffle default,
+    including the planted hot key."""
+    import ray.data as rd
+
+    from json_schema_validate_ray.stages.checks import duplicate_keys_hash_first
+    a = sorted((r["doc_id"], r["dup_count"]) for r in
+               duplicate_keys(rd.read_parquet(tokens_dir), "doc_id").take_all())
+    b = sorted((r["doc_id"], r["dup_count"]) for r in
+               duplicate_keys_hash_first(
+                   rd.read_parquet(tokens_dir), "doc_id").take_all())
+    assert a == b and len(a) > 0
+    assert (HOT_DOC_ID, N_ROWS // 1000) in b
+
+
 def test_referential_and_drift(ray_session, tokens_dir):
     import ray.data as rd
     rv = referential_violations(rd.read_parquet(tokens_dir), "source", SOURCES)
