@@ -126,6 +126,27 @@ def test_uniqueness_exact(ray_session, tokens_dir):
     assert hot.num_rows == 1 and hot["dup_count"][0].as_py() == N_ROWS // 1000
 
 
+def test_stats_and_exact_ndv_bucket_invariance(ray_session, tokens_dir):
+    """The fused one-scan stats+NDV result must be identical at every bucket
+    count (buckets partition the key-hash space; counts sum exactly), and
+    match DuckDB's count(DISTINCT) and count(*)."""
+    import duckdb
+    import ray.data as rd
+
+    from json_schema_validate_ray.stages.checks import stats_and_exact_ndv
+    exact_ndv, exact_rows = duckdb.sql(
+        f"select count(distinct doc_id), count(*) from "
+        f"read_parquet('{tokens_dir}/*.parquet')").fetchone()
+    for n_buckets in (1, 7, 64, None):
+        stats, ndv = stats_and_exact_ndv(
+            rd.read_parquet(tokens_dir), ["doc_id", "n_tok", "source"],
+            ndv_columns=["doc_id", "source"], n_buckets=n_buckets)
+        assert ndv["doc_id"] == exact_ndv, n_buckets
+        assert 10 <= ndv["source"] <= 12
+        assert stats["doc_id"].count == exact_rows
+        assert stats["n_tok"].count == exact_rows
+
+
 def test_uniqueness_hash_first_matches_default(ray_session, tokens_dir):
     """The hash-first two-phase variant (scale path for wide keys) must be
     EXACT: identical (key, dup_count) rows to the single-shuffle default,
