@@ -293,6 +293,7 @@ _SHINGLE_MIX = (np.uint64(0x9E3779B97F4A7C15),
                 np.uint64(0x165667B19E3779F9),
                 np.uint64(0x27D4EB2F165667C5),
                 np.uint64(0x85EBCA77C2B2AE63))
+_SHINGLE_MIX_ARR = np.array(_SHINGLE_MIX, dtype=np.uint64)
 
 
 def _token_hashes(text: str, n_shingle: int = 3,
@@ -328,6 +329,72 @@ def _token_hashes(text: str, n_shingle: int = 3,
     return out
 
 
+def batch_shingle_hashes(texts, n_shingle: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shingle hashes for a WHOLE batch — no Python loop over
+    rows or tokens.  One Arrow split/flatten pass, one vectorized
+    ``_hash64`` over the flat token stream, then shingle combination
+    h(s_i) = XOR_j h(tok_{i+j}) * MIX_j via shifted slices of the flat
+    array with a row-boundary mask (a window is valid iff its first and
+    last token share a parent row); rows with 0 < len < n_shingle collapse
+    to one combined hash via ``np.bitwise_xor.reduceat``.  Blank/null rows
+    yield zero shingles (tokenize() parity).
+
+    Returns (flat_shingle_hashes uint64, row_offsets int64[n_rows+1]) —
+    row i's shingles are flat[offsets[i]:offsets[i+1]]."""
+    import pyarrow.compute as pc
+
+    from ..state.sketches import _hash64
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array([t if t is not None else None for t in texts],
+                         type=pa.string())
+    arr = _as_array(texts)
+    n_rows = len(arr)
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(arr))
+    blank = pc.fill_null(pc.equal(trimmed, ""), True) \
+        .to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    th = _hash64(flat)
+    keep = ~blank[parent]                 # blank rows split to [''] — drop
+    th, parent = th[keep], parent[keep]
+    L = np.bincount(parent, minlength=n_rows)
+    starts_row = np.concatenate([[0], np.cumsum(L)])
+
+    N = len(th)
+    par_parts, sh_parts = [], []
+    if N >= n_shingle:
+        W = N - n_shingle + 1
+        S = np.zeros(W, dtype=np.uint64)
+        for j in range(n_shingle):
+            S ^= th[j:j + W] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+        valid = parent[:W] == parent[n_shingle - 1:]
+        sh_parts.append(S[valid])
+        par_parts.append(parent[:W][valid])
+    small_row = (L > 0) & (L < n_shingle)
+    if small_row.any():
+        tok_small = small_row[parent]
+        pos = np.arange(N, dtype=np.int64) - starts_row[parent]
+        c = th * _SHINGLE_MIX_ARR[pos % len(_SHINGLE_MIX)]
+        c_small, par_tok = c[tok_small], parent[tok_small]
+        seg = np.concatenate([[0], np.nonzero(np.diff(par_tok))[0] + 1])
+        sh_parts.append(np.bitwise_xor.reduceat(c_small, seg))
+        par_parts.append(par_tok[seg])
+    if sh_parts:
+        par_all = np.concatenate(par_parts)
+        sh_all = np.concatenate(sh_parts)
+        order = np.argsort(par_all, kind="stable")
+        sh_sorted = sh_all[order]
+        counts = np.bincount(par_all, minlength=n_rows)
+    else:
+        sh_sorted = np.zeros(0, dtype=np.uint64)
+        counts = np.zeros(n_rows, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return sh_sorted, offsets
+
+
 class MinHasher:
     """Appends MinHash band keys for LSH near-dup bucketing.
 
@@ -353,47 +420,38 @@ class MinHasher:
         self._token_cache: dict = {}
 
     def signature(self, text: str) -> np.ndarray:
-        h = _token_hashes(text, self.n_shingle, self._token_cache)
-        if len(h) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (a * h + b) mod p for all perms x shingles: use object->uint64 via
-        # float-free modular arithmetic in uint128 chunks (numpy uint64 wraps;
-        # acceptable for hashing as long as it is deterministic)
-        vals = (h[None, :] * self.a[:, None] + self.b[:, None])
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
 
-    def signatures(self, texts: list) -> np.ndarray:
-        """(n_docs, num_perm) signatures for a whole batch: all documents'
-        shingle hashes flattened once, then per-permutation (a*h + b) +
-        segmented min via ``np.minimum.reduceat`` — identical arithmetic to
-        ``signature`` (uint64 wraparound included) but one numpy pass per
-        permutation instead of a Python call per document."""
-        hs = [_token_hashes(t or "", self.n_shingle, self._token_cache)
-              for t in texts]
-        lengths = np.array([len(h) for h in hs], dtype=np.int64)
-        sigs = np.zeros((len(hs), self.num_perm), dtype=np.uint64)
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) signatures for a whole batch, end-to-end
+        vectorized: ONE Arrow split/flatten + ``_hash64`` pass produces every
+        document's shingle hashes (``batch_shingle_hashes`` — no Python loop
+        over rows OR tokens), then per-permutation (a*h + b) + segmented min
+        via ``np.minimum.reduceat``.  ``texts`` is a pyarrow string column or
+        a list of strings."""
+        sh_flat, offsets = batch_shingle_hashes(texts, self.n_shingle)
+        n_rows = len(offsets) - 1
+        sigs = np.zeros((n_rows, self.num_perm), dtype=np.uint64)
+        lengths = np.diff(offsets)
         nonempty = lengths > 0
         if not nonempty.any():
             return sigs
-        flat = np.concatenate([h for h in hs if len(h)])
-        ne_lengths = lengths[nonempty]
-        starts = np.zeros(len(ne_lengths), dtype=np.int64)
-        np.cumsum(ne_lengths[:-1], out=starts[1:])
+        starts = offsets[:-1][nonempty]
         ne_idx = np.nonzero(nonempty)[0]
         for p in range(self.num_perm):
-            vals = flat * self.a[p] + self.b[p]
+            vals = sh_flat * self.a[p] + self.b[p]
             sigs[ne_idx, p] = np.minimum.reduceat(vals, starts)
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        sigs = self.signatures(texts) if texts \
+        n = batch.num_rows
+        sigs = self.signatures(batch[self.text_column]) if n \
             else np.zeros((0, self.num_perm), dtype=np.uint64)
         out = batch
         for j in range(self.bands):
             band = sigs[:, j * self.rows_per_band:(j + 1) * self.rows_per_band]
             # fold the band rows into one 63-bit key
-            key = np.zeros(len(texts), dtype=np.uint64)
+            key = np.zeros(n, dtype=np.uint64)
             for r in range(self.rows_per_band):
                 key = key * np.uint64(1099511628211) + band[:, r]
             out = out.append_column(
@@ -403,26 +461,39 @@ class MinHasher:
 
 class SimHasher:
     """Appends a 64-bit ``simhash`` of the token stream; near-dups have small
-    Hamming distance.  Vectorized bit-vote accumulation per document."""
+    Hamming distance.  End-to-end vectorized: one Arrow split/flatten +
+    ``_hash64`` pass per batch (``batch_shingle_hashes`` with n_shingle=1),
+    bit votes accumulated for ALL documents at once with one segmented
+    ``np.add.reduceat`` over the (tokens x 64) bit matrix."""
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
         self.bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        self._token_cache: dict = {}
+
+    def simhash_batch(self, texts) -> np.ndarray:
+        h_flat, offsets = batch_shingle_hashes(texts, n_shingle=1)
+        n_rows = len(offsets) - 1
+        out = np.zeros(n_rows, dtype=np.uint64)
+        lengths = np.diff(offsets)
+        nonempty = lengths > 0
+        if not nonempty.any():
+            return out
+        starts = offsets[:-1][nonempty]
+        ne_len = lengths[nonempty]
+        acc = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+        # bit-sliced voting: one 1-D segmented sum per bit (a 2-D reduceat
+        # over the (tokens x 64) bit matrix is ~200x slower)
+        for b in range(64):
+            bitvec = ((h_flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            votes = np.add.reduceat(bitvec, starts)
+            acc |= (votes * 2 > ne_len).astype(np.uint64) << np.uint64(b)
+        out[nonempty] = acc
+        return out & np.uint64((1 << 63) - 1)
 
     def simhash(self, text: str) -> int:
-        h = _token_hashes(text, 1, self._token_cache)
-        if len(h) == 0:
-            return 0
-        bits = (h[:, None] & self.bit_masks[None, :]) != 0
-        votes = bits.sum(axis=0) * 2 - len(h)
-        out = np.uint64(0)
-        for i in np.nonzero(votes > 0)[0]:
-            out |= self.bit_masks[i]
-        return int(out & np.uint64((1 << 63) - 1))
+        return int(self.simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
         return batch.append_column(
-            "simhash", pa.array([self.simhash(t or "") for t in texts],
-                                type=pa.int64()))
+            "simhash", pa.array(self.simhash_batch(batch[self.text_column])
+                                .astype(np.int64)))
