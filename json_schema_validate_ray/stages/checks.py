@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..state.sketches import (
+    BloomFilter,
     ColumnStats,
     Histogram,
     HyperLogLog,
@@ -579,6 +580,75 @@ def referential_violations(ds, column: str, allowed, id_column: str = "doc_id",
     return ds.map_batches(
         _ReferentialCheck,
         fn_constructor_kwargs={"column": column, "allowed_ref": allowed_ref,
+                               "id_column": id_column},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
+
+
+class _BloomReferentialCheck:
+    """Probe-side stage: flags rows whose key is DEFINITELY absent from the
+    broadcast Bloom filter.  Every emitted violation is a true orphan; a true
+    orphan escapes with probability ~fpr (see BloomFilter docstring)."""
+
+    def __init__(self, column: str, bloom_ref, id_column: str = "doc_id"):
+        import ray
+        self.column = column
+        self.id_column = id_column
+        blob = ray.get(bloom_ref) if not isinstance(bloom_ref, bytes) else bloom_ref
+        self.bloom = BloomFilter.from_bytes(blob)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.column]
+        maybe = self.bloom.test(arr)
+        valid = pc.is_valid(arr).combine_chunks().to_numpy(zero_copy_only=False)
+        bad = batch.filter(pa.array(~maybe & valid))
+        n = bad.num_rows
+        return pa.table({
+            "doc_id": bad[self.id_column].cast(pa.string()) if self.id_column in bad.column_names
+                      else pa.array([None] * n, type=pa.string()),
+            "constraint_id": pa.array([f"{self.column}/referential_bloom"] * n, type=pa.string()),
+            "path": pa.array([self.column] * n, type=pa.string()),
+            "message": pa.array([f"Value not in referenced key set ({self.column})"] * n,
+                                type=pa.string()),
+            "observed": bad[self.column].cast(pa.string()),
+        })
+
+
+def build_bloom(dim_ds, column: str, expected: int, fpr: float = 0.01,
+                batch_size: int = 65536) -> "BloomFilter":
+    """Distributed Bloom build: each block emits a fixed-size filter blob
+    sized for the FULL expected key count; blobs OR-merge associatively on
+    the driver (partial+final, no shuffle).  At 100 TB the dim-side scan is
+    block-parallel and the driver merges #blocks fixed-size blobs — size the
+    block count so #blocks x m/8 bytes stays in driver memory, or lift the
+    merge into a tree of map_batches stages (the OR is associative)."""
+    proto = BloomFilter.sized(expected, fpr)
+    m, k = proto.num_bits, proto.num_hashes
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=m, num_hashes=k)
+        bf.update(batch[column])
+        return pa.table({"bloom": pa.array([bf.to_bytes()], type=pa.binary())})
+
+    merged = BloomFilter(num_bits=m, num_hashes=k)
+    for row in dim_ds.map_batches(_partial, batch_format="pyarrow",
+                                  batch_size=batch_size).take_all():
+        merged.merge(BloomFilter.from_bytes(row["bloom"]))
+    return merged
+
+
+def bloom_referential_violations(ds, column: str, dim_ds, dim_column: str,
+                                 expected: int, fpr: float = 0.01,
+                                 id_column: str = "doc_id",
+                                 batch_size: int = 65536):
+    """Scale-path referential check: Bloom filter over the dimension keys
+    instead of the exact broadcast set (~10 bits/key vs full key strings).
+    Zero false accusations; misses a true orphan with probability ~fpr."""
+    import ray
+    bloom = build_bloom(dim_ds, dim_column, expected, fpr, batch_size)
+    bloom_ref = ray.put(bloom.to_bytes())
+    return ds.map_batches(
+        _BloomReferentialCheck,
+        fn_constructor_kwargs={"column": column, "bloom_ref": bloom_ref,
                                "id_column": id_column},
         batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
 

@@ -314,6 +314,77 @@ def chi_square(observed: dict[str, int], expected: dict[str, int]) -> float:
 
 
 @dataclass
+class BloomFilter:
+    """Mergeable Bloom filter over column values; merge = bitwise OR.
+
+    The scale path for referential checks when the dimension key set is too
+    large to broadcast exactly (checks.py::referential_violations ships the
+    full sorted key list; at 10^9 64-byte keys that is ~60 GB, while a 1%-fpr
+    Bloom is ~1.2 GB — one object-store copy per node).  Double hashing
+    (Kirsch & Mitzenmacher 2006): bit index i = h1 + i*h2 mod m, with h1/h2
+    the two independent seeded families of ``_hash64`` — deterministic across
+    workers and runs.  Guarantee direction: ``test`` == False means the value
+    is DEFINITELY absent, so every flagged orphan is real; a true orphan
+    escapes with probability ~fpr.
+    """
+
+    num_bits: int = 1 << 20
+    num_hashes: int = 7
+    bits: np.ndarray = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        # round up to a multiple of 64 so the word array is exact
+        self.num_bits = (self.num_bits + 63) & ~63
+        if self.bits is None:
+            self.bits = np.zeros(self.num_bits >> 6, dtype=np.uint64)
+
+    @classmethod
+    def sized(cls, expected: int, fpr: float = 0.01) -> "BloomFilter":
+        """Optimal m/k for ``expected`` insertions at false-positive rate
+        ``fpr``: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+        expected = max(1, int(expected))
+        m = int(np.ceil(-expected * np.log(fpr) / (np.log(2) ** 2)))
+        k = max(1, int(round(m / expected * np.log(2))))
+        return cls(num_bits=m, num_hashes=k)
+
+    def _indices(self, arr) -> np.ndarray:
+        """(k, n) matrix of bit indices for the values of ``arr``."""
+        h1 = _hash64(arr, seed=0)
+        h2 = _hash64(arr, seed=1) | np.uint64(1)  # odd => full-period stride
+        ks = np.arange(self.num_hashes, dtype=np.uint64)[:, None]
+        return (h1[None, :] + ks * h2[None, :]) % np.uint64(self.num_bits)
+
+    def update(self, arr) -> None:
+        idx = self._indices(arr).ravel()
+        np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+    def test(self, arr) -> np.ndarray:
+        """Boolean mask: True = possibly present, False = definitely absent."""
+        idx = self._indices(arr)
+        word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.num_bits == other.num_bits and self.num_hashes == other.num_hashes
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    @property
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits.view(np.uint8)).sum()) / self.num_bits
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.num_bits, self.num_hashes, self.bits), protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "BloomFilter":
+        m, k, bits = pickle.loads(b)
+        return cls(num_bits=m, num_hashes=k, bits=bits)
+
+
+@dataclass
 class ColumnStats:
     """Mergeable per-column stats partial: count / nulls / min / max / sum /
     sum of squares (for mean+std) — the classic distributed aggregation."""

@@ -173,6 +173,20 @@ def test_referential_and_drift(ray_session, tokens_dir):
         " where source not in (" + ",".join(f"'{s}'" for s in SOURCES) + ")").fetchone()[0]
     assert n_bad == exact
 
+    # Bloom scale path: build the filter from the allowed "dimension" keys
+    # distributedly, probe the fact table.  Flagged rows must be a SUBSET of
+    # the exact orphans (no false accusations); with fpr=1e-4 and a handful
+    # of distinct orphan values the (deterministic-hash) escape set is empty,
+    # so it matches the exact check outright.
+    from json_schema_validate_ray.stages.checks import bloom_referential_violations
+    dim = rd.from_arrow(pa.table({"source": pa.array(sorted(SOURCES))}))
+    bv = bloom_referential_violations(
+        rd.read_parquet(tokens_dir), "source", dim, "source",
+        expected=len(SOURCES), fpr=1e-4)
+    bloom_rows = bv.take_all()
+    assert len(bloom_rows) == exact
+    assert all(r["observed"] not in SOURCES for r in bloom_rows)
+
     base_counts = categorical_counts(rd.read_parquet(tokens_dir), "source")
     base_hist = column_histogram(rd.read_parquet(tokens_dir), "n_tok", 0, 2100, 128)
     rep = drift_report(rd.read_parquet(tokens_dir), base_counts, base_hist)

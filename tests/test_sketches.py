@@ -115,3 +115,25 @@ def test_exact_quantiles_distributed_tiny_and_empty(ray_session):
     ds0 = rd.from_arrow(pa.table({"v": pa.array([], type=pa.float64())}))
     got0, n0 = exact_quantiles_distributed(ds0, "v", [0.5])
     assert n0 == 0 and got0 == [None]
+
+
+def test_bloom_filter_no_false_negatives_and_fpr():
+    from json_schema_validate_ray.state.sketches import BloomFilter
+    keys = pa.array([f"key-{i}" for i in range(20_000)])
+    bf = BloomFilter.sized(20_000, fpr=0.01)
+    # distributed build: 4 block partials OR-merged
+    merged = BloomFilter(num_bits=bf.num_bits, num_hashes=bf.num_hashes)
+    for i in range(4):
+        part = BloomFilter(num_bits=bf.num_bits, num_hashes=bf.num_hashes)
+        part.update(keys.slice(i * 5_000, 5_000))
+        merged.merge(part)
+    assert merged.test(keys).all()                       # no false negatives
+    probes = pa.array([f"other-{i}" for i in range(20_000)])
+    assert merged.test(probes).mean() < 0.03             # ~1% target fpr
+    rt = BloomFilter.from_bytes(merged.to_bytes())
+    assert (rt.bits == merged.bits).all() and rt.num_hashes == merged.num_hashes
+    # numeric columns hash too
+    nf = BloomFilter.sized(1_000, fpr=0.01)
+    nf.update(pa.array(np.arange(1_000, dtype=np.int64)))
+    assert nf.test(pa.array(np.arange(1_000, dtype=np.int64))).all()
+    assert nf.test(pa.array(np.arange(50_000, 51_000, dtype=np.int64))).mean() < 0.05
