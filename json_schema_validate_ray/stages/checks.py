@@ -581,7 +581,8 @@ def referential_violations(ds, column: str, allowed, id_column: str = "doc_id",
         _ReferentialCheck,
         fn_constructor_kwargs={"column": column, "allowed_ref": allowed_ref,
                                "id_column": id_column},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+        max_restarts=0)
 
 
 class _BloomReferentialCheck:
@@ -650,7 +651,8 @@ def bloom_referential_violations(ds, column: str, dim_ds, dim_column: str,
         _BloomReferentialCheck,
         fn_constructor_kwargs={"column": column, "bloom_ref": bloom_ref,
                                "id_column": id_column},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+        max_restarts=0)
 
 
 # ---------------------------------------------------------------------------

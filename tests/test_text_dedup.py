@@ -227,3 +227,39 @@ def test_media_resizer_contract():
         rows = (np.arange(16) * base.shape[0] // 16)
         cols = (np.arange(16) * base.shape[1] // 16)
         assert np.array_equal(px, base[rows[:, None], cols[None, :]])
+
+
+def test_decontaminate_exact_and_bloom(ray_session):
+    import ray.data as rd
+    from json_schema_validate_ray.pipelines.decontaminate import decontaminate
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": ["b1", "b2"],
+        "text": ["the quick brown fox jumps over", "hello wide world"],
+    }))
+    train = rd.from_arrow(pa.table({
+        "doc_id": ["t1", "t2", "t3", "t4", "t5"],
+        "text": [
+            "a sentence with the quick brown fox inside it",  # 3-gram overlap
+            "totally fresh unrelated content here",            # clean
+            "",                                                # blank: 0 shingles
+            "hi there",                                        # <3 toks, no match
+            "hello wide world",                                # exact short match
+        ],
+    }))
+    rows = {r["doc_id"]: r for r in
+            decontaminate(train, bench, "text", n_shingle=3).take_all()}
+    assert rows["t1"]["contaminated"] and rows["t1"]["n_contaminated"] >= 1
+    assert not rows["t2"]["contaminated"]
+    assert rows["t3"]["n_shingles"] == 0 and not rows["t3"]["contaminated"]
+    assert not rows["t4"]["contaminated"]
+    assert rows["t5"]["contaminated"]          # whole-doc 3-gram matches
+
+    # Bloom path: zero false negatives => flags a superset of the exact set
+    brows = {r["doc_id"]: r for r in
+             decontaminate(train, bench, "text", n_shingle=3,
+                           bloom_fpr=1e-6).take_all()}
+    for k, r in rows.items():
+        if r["contaminated"]:
+            assert brows[k]["contaminated"], k
+            assert brows[k]["n_contaminated"] >= r["n_contaminated"]
