@@ -632,3 +632,204 @@ def embedding_srp_pairs(ds, id_column: str = "vec_id",
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
              .groupby("srp_bucket").map_groups(pair_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components over a pair graph -> end-to-end near-dup dedup
+# ---------------------------------------------------------------------------
+
+def _union_find_components(edges) -> dict:
+    """Driver-side union-find (path compression + union by size); returns
+    {node: component} where component is the lexicographically smallest
+    member — the same labeling a recursive SQL min-closure produces."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    # component label = min member id (two cheap passes over the node dict)
+    label: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in label or v < label[r]:
+            label[r] = v
+    return {v: label[find(v)] for v in parent}
+
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         broadcast_limit: int = BROADCAST_KEY_LIMIT,
+                         max_iters: int = 50,
+                         force_distributed: bool = False) -> "object":
+    """(node, component) for every node appearing in the pair graph;
+    ``component`` is the lexicographically smallest member id, matching the
+    SQL ``MIN`` over a recursive edge closure (the oracle).
+
+    Near-dup candidate pairs are a small fraction of the corpus even at
+    100 TB (they are the OUTPUT of LSH + verification, not the input), so the
+    default path pulls the edge list to the driver once (<= broadcast_limit
+    edges) and runs union-find — exact, one pass, no iteration.
+
+    Above the limit the DISTRIBUTED path runs hash-min label propagation:
+    ``labels(v)`` start at ``v``; every round does two coarse-bucket
+    all-to-alls — (1) key rows by src to attach ``label[src]`` to each edge,
+    (2) key messages by dst and take the per-node min — and terminates when
+    no label changed (monotone decrease; converges in graph-diameter rounds,
+    short for near-dup blobs).  Shuffle volume per round is O(E + V) id/label
+    pairs; no text payload ever enters the exchange.  Raises RuntimeError if
+    ``max_iters`` rounds don't converge (pathological long-chain graph)."""
+    import ray.data as rd
+
+    def sym(b: pa.Table):
+        a = pc.cast(b[id_a], pa.string())
+        c = pc.cast(b[id_b], pa.string())
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return pa.table({"src": pa.concat_arrays([a, c]),
+                         "dst": pa.concat_arrays([c, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.string()),
+            "component": pa.array([], type=pa.string())}))
+
+    if n_edges <= broadcast_limit and not force_distributed:
+        rows = edges.take_all()
+        comp = _union_find_components(
+            (r["src"], r["dst"]) for r in rows)
+        nodes = sorted(comp)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, type=pa.string()),
+            "component": pa.array([comp[v] for v in nodes], type=pa.string())}))
+
+    # ---- distributed hash-min label propagation ----
+    def init_labels(b: pa.Table):
+        return pa.table({"key": b["src"], "dst": b["src"], "is_label": pa.array(
+            np.ones(b.num_rows, dtype=np.int8))})
+
+    # labels as (key=node, dst=label, is_label=1); dedup nodes first
+    def dedup_nodes(g):
+        nodes = g["key"].drop_duplicates()
+        return pa.table({"key": pa.array(nodes, type=pa.string()),
+                         "dst": pa.array(nodes, type=pa.string()),
+                         "is_label": pa.array(np.ones(len(nodes), dtype=np.int8))})
+
+    labels = _group_by_key_buckets(
+        edges.map_batches(init_labels, batch_format="pyarrow"), "key",
+        rows_estimate=n_edges).map_groups(
+        dedup_nodes, batch_format="pandas").materialize()
+
+    def tag_edges(b: pa.Table):
+        return pa.table({"key": b["src"], "dst": b["dst"], "is_label": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8))})
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow") \
+                        .materialize()
+
+    def propagate(g):
+        # one coarse bucket: label rows (is_label=1) carry label[key];
+        # edge rows need that label forwarded to their dst (and kept on key)
+        lab = g[g["is_label"] == 1][["key", "dst"]].rename(
+            columns={"dst": "label"})
+        ed = g[g["is_label"] == 0][["key", "dst"]]
+        m = ed.merge(lab, on="key", how="left")
+        import pandas as pd
+        node = pd.concat([m["dst"], lab["key"]], ignore_index=True)
+        cand = pd.concat([m["label"], lab["label"]], ignore_index=True)
+        is_old = np.zeros(len(node), dtype=np.int8)
+        is_old[len(m):] = 1
+        return pa.table({"node": pa.array(node, type=pa.string()),
+                         "cand": pa.array(cand, type=pa.string()),
+                         "is_old": pa.array(is_old)})
+
+    def reduce_min(g):
+        gg = g.groupby("node", sort=False)["cand"].min()
+        old = g[g["is_old"] == 1].set_index("node")["cand"]
+        new = gg
+        changed = (new < old.reindex(new.index)).fillna(True)
+        return pa.table({
+            "key": pa.array(new.index, type=pa.string()),
+            "dst": pa.array(new.values, type=pa.string()),
+            "is_label": pa.array(np.ones(len(new), dtype=np.int8)),
+            "changed": pa.array(changed.to_numpy().astype(np.int64))})
+
+    for _ in range(max_iters):
+        msgs = _group_by_key_buckets(
+            edges_tagged.union(labels.map_batches(
+                lambda b: b.select(["key", "dst", "is_label"]),
+                batch_format="pyarrow")),
+            "key", rows_estimate=n_edges).map_groups(
+            propagate, batch_format="pandas")
+        new_labels = _group_by_key_buckets(
+            msgs, "node", rows_estimate=n_edges).map_groups(
+            reduce_min, batch_format="pandas").materialize()
+        n_changed = new_labels.sum("changed")
+        labels = new_labels
+        if not n_changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iters} rounds "
+            "(graph diameter exceeds max_iters; raise max_iters)")
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["key"], "component": b["dst"]}),
+        batch_format="pyarrow")
+
+
+def near_dup_components(ds, text_column: str = "text",
+                        id_column: str = "doc_id", threshold: float = 0.5,
+                        **kwargs):
+    """End-to-end: MinHash+LSH verified pairs -> connected components.
+    Returns (doc_id, component) for every document in a near-dup cluster."""
+    pairs = minhash_dup_pairs(ds, text_column, id_column,
+                              threshold=threshold, **kwargs)
+    comps = connected_components(pairs)
+    return comps.map_batches(
+        lambda b: pa.table({id_column: b["node"], "component": b["component"]}),
+        batch_format="pyarrow")
+
+
+def near_dup_dedup_summary(ds, text_column: str = "text",
+                           id_column: str = "doc_id",
+                           threshold: float = 0.5, **kwargs) -> pa.Table:
+    """Corpus-level dedup accounting: keep one canonical document (the
+    component label) per near-dup cluster, drop the rest.  One row:
+    n_docs, n_dup_nodes (docs in any cluster), n_components (clusters =
+    survivors among them), n_removed, n_kept."""
+    from ..stages.checks import exact_distinct_count
+
+    n_docs = ds.count()     # parquet metadata only
+    # materialized: consumed twice (node count + distinct-component count)
+    # and it is the SMALL side — one (id, label) row per clustered doc
+    comps = near_dup_components(ds, text_column, id_column,
+                                threshold=threshold, **kwargs).materialize()
+    n_dup_nodes = comps.count()
+    n_components = (exact_distinct_count(comps, "component")
+                    if n_dup_nodes else 0)
+    n_removed = n_dup_nodes - n_components
+    return pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "n_dup_nodes": pa.array([n_dup_nodes], type=pa.int64()),
+        "n_components": pa.array([n_components], type=pa.int64()),
+        "n_removed": pa.array([n_removed], type=pa.int64()),
+        "n_kept": pa.array([n_docs - n_removed], type=pa.int64()),
+    })

@@ -765,6 +765,92 @@ SELECT * FROM hits WHERE n_contaminated > 0
 """
 
 
+def q_near_dup_components(sf_dir: str):
+    """End-to-end near-dup clustering: MinHash+LSH verified pairs (the
+    hash-green pair pipeline) -> distributed connected components
+    (pipelines/dedup.connected_components: driver union-find under the
+    2M-edge broadcast limit, hash-min label propagation above it).
+    Output: (doc_id, component) for every clustered document, component =
+    lexicographically smallest member — exactly the SQL recursive
+    min-closure, so the oracle is exact."""
+    from .dedup import near_dup_components
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return near_dup_components(ds, "text", "doc_id", threshold=0.5)
+
+
+def q_near_dup_dedup_summary(sf_dir: str):
+    """Corpus-level near-dup dedup accounting: one canonical survivor (the
+    component label) per cluster; reports n_docs / n_dup_nodes /
+    n_components / n_removed / n_kept in one row."""
+    from .dedup import near_dup_dedup_summary
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return near_dup_dedup_summary(ds, "text", "doc_id", threshold=0.5)
+
+
+# Shared CTE chain: exact word-3-shingle Jaccard pairs (same text semantics
+# as SQL_MINHASH_VERIFIED_PAIRS) -> symmetric edge list for the recursive
+# closure.  DuckDB WITH RECURSIVE computes per-node MIN label reachability —
+# the serial ground truth for connected_components.
+_PAIR_GRAPH_CTES = r"""d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+j AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+    CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+         WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
+),
+p AS (
+  SELECT CAST(ia AS VARCHAR) AS id_a, CAST(ib AS VARCHAR) AS id_b
+  FROM j WHERE jac >= 0.5
+),
+e AS (
+  SELECT id_a AS sn, id_b AS dn FROM p
+  UNION
+  SELECT id_b AS sn, id_a AS dn FROM p
+),
+reach(v, l) AS (
+  SELECT sn, sn FROM e
+  UNION
+  SELECT e2.dn, r.l FROM reach r JOIN e e2 ON e2.sn = r.v
+),
+comp AS (
+  SELECT v, MIN(l) AS component FROM reach GROUP BY v
+)"""
+
+SQL_NEAR_DUP_COMPONENTS = ("WITH RECURSIVE " + _PAIR_GRAPH_CTES + r"""
+SELECT v AS doc_id, component FROM comp
+""")
+
+SQL_NEAR_DUP_DEDUP_SUMMARY = ("WITH RECURSIVE " + _PAIR_GRAPH_CTES + r""",
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_nodes,
+         CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+  FROM comp
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       n_dup_nodes, n_components,
+       n_dup_nodes - n_components AS n_removed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         - (n_dup_nodes - n_components) AS n_kept
+FROM agg
+""")
+
+
 def _arrow_group_head(tbl: pa.Table, group_col: str, k: int,
                       sort_keys: list[tuple]) -> pa.Table:
     """First k rows per group value after an Arrow ``sort_by`` — the
@@ -1834,6 +1920,9 @@ REGISTRY: dict[str, tuple] = {
     # displace a driver-green query above.
     "decontaminate_documents": (q_decontaminate_documents,
                                 SQL_DECONTAMINATE_DOCUMENTS),
+    "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
+    "near_dup_dedup_summary": (q_near_dup_dedup_summary,
+                               SQL_NEAR_DUP_DEDUP_SUMMARY),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
