@@ -1838,6 +1838,199 @@ def q_embedding_srp_pairs(sf_dir: str):
     return embedding_srp_pairs(ds, "vec_id", "embedding", threshold=0.4, bits=4)
 
 
+def q_running_totals_events(sf_dir: str):
+    """Cumulative per-user window aggregates (running event count + running
+    value sum), the UNBOUNDED PRECEDING window shape: co-partition by user
+    (same stable-hash bucketing as sessions/as-of), one vectorized pandas
+    cumsum per bucket over (user_id, ts, event_id) order.  Money is exact
+    int64 cents on both sides (floor(value*100 + 0.5) — identical IEEE
+    double ops in numpy and DuckDB), so the distributed cumulative sum is
+    bit-exact, no float summation-order sensitivity.  Partitioning
+    assumption: one user's events fit in one group (shared with every
+    windowed operator here)."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def running(g):
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        gg = g.assign(cents=cents).groupby("user_id", sort=False)
+        return pa.table({
+            "event_id": pa.array(g["event_id"], type=pa.int64()),
+            "user_id": pa.array(g["user_id"], type=pa.int64()),
+            "running_n": pa.array((gg.cumcount() + 1).to_numpy(),
+                                  type=pa.int64()),
+            "running_sum_cents": pa.array(gg["cents"].cumsum().to_numpy(),
+                                          type=pa.int64()),
+        })
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket").map_groups(running, batch_format="pandas"))
+
+
+SQL_RUNNING_TOTALS_EVENTS = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS running_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily_event_types(sf_dir: str):
+    """Pivot / crosstab: one row per day, one count column per event type.
+    Per-batch combiner emits tiny (day, event_type, n) partials; the reduce
+    groups by day (bounded group count — days, not events) and pivots each
+    day into its fixed column set.  No full-row shuffle: only the partials
+    move."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.date32())
+        import pandas as pd
+        g = pd.DataFrame({"day": day.to_pandas(),
+                          "event_type": b["event_type"].to_pandas()})
+        out = g.groupby(["day", "event_type"], sort=False).size().reset_index(name="n")
+        return pa.table({
+            "day": pa.Array.from_pandas(out["day"]).cast(pa.date32()),
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def pivot_day(g):
+        day = g["day"].iloc[0]
+        sums = g.groupby("event_type")["n"].sum()
+        cols = {"day": pa.array([day], type=pa.date32())}
+        for et in _EVENT_TYPES:
+            cols[f"n_{et}"] = pa.array([int(sums.get(et, 0))], type=pa.int64())
+        cols["n_total"] = pa.array([int(sums.sum())], type=pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("day").map_groups(pivot_day, batch_format="pandas"))
+
+
+SQL_PIVOT_DAILY_EVENT_TYPES = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events GROUP BY day
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-source top-3 terms by TF-IDF.  One scan tokenizes (Arrow
+    lower/trim/regex-split, list-explode via list_parent_indices) and emits
+    per-batch (source, token, cnt) combiner partials; ONE token-bucketed
+    shuffle computes exact tf per (source, token) AND df per token (a
+    token's rows all land in one bucket) and prunes to a per-bucket,
+    per-source top-3; the driver merges the tiny pruned union.  The score is
+    integer-scaled (floor(tf * ln(n_sources/df) * 1e6 + 0.5)) so ranking
+    and output are exact int64 on both sides."""
+    from ..stages.checks import exact_distinct_count
+    from .dedup import _group_by_key_buckets
+
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    n_sources = exact_distinct_count(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["source"]), "source")
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        parents = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        src = pc.take(b["source"], parents)
+        keep = pc.not_equal(flat, "")          # empty doc -> [''] -> no tokens
+        import pandas as pd
+        g = pd.DataFrame({"source": pc.filter(src, keep).to_pandas(),
+                          "token": pc.filter(flat, keep).to_pandas()})
+        out = g.groupby(["source", "token"], sort=False).size().reset_index(name="cnt")
+        return pa.table({
+            "source": pa.array(out["source"], type=pa.string()),
+            "token": pa.array(out["token"], type=pa.string()),
+            "cnt": pa.array(out["cnt"], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(g):
+        tf = g.groupby(["token", "source"], sort=False)["cnt"].sum().reset_index()
+        df = tf.groupby("token", sort=False)["source"].nunique()
+        dfv = tf["token"].map(df).to_numpy().astype(np.int64)
+        tfv = tf["cnt"].to_numpy().astype(np.int64)
+        score = np.floor(tfv * np.log(n_sources / dfv) * 1e6 + 0.5).astype(np.int64)
+        tf = tf.assign(df=dfv, score_1e6=score)
+        tf = tf.sort_values(["source", "score_1e6", "token"],
+                            ascending=[True, False, True])
+        tf = tf.groupby("source", sort=False).head(3)
+        return pa.table({
+            "source": pa.array(tf["source"], type=pa.string()),
+            "token": pa.array(tf["token"], type=pa.string()),
+            "tf": pa.array(tf["cnt"], type=pa.int64()),
+            "df": pa.array(tf["df"], type=pa.int64()),
+            "score_1e6": pa.array(tf["score_1e6"], type=pa.int64()),
+        })
+
+    pruned = _group_by_key_buckets(partials, "token").map_groups(
+        merge_bucket, batch_format="pandas").take_all()
+    import pandas as pd
+    u = pd.DataFrame(pruned)
+    if len(u) == 0:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "token": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64()),
+                         "df": pa.array([], type=pa.int64()),
+                         "score_1e6": pa.array([], type=pa.int64())})
+    u = u.sort_values(["source", "score_1e6", "token"],
+                      ascending=[True, False, True])
+    u = u.groupby("source", sort=False).head(3)
+    return pa.table({
+        "source": pa.array(u["source"], type=pa.string()),
+        "token": pa.array(u["token"], type=pa.string()),
+        "tf": pa.array(u["tf"], type=pa.int64()),
+        "df": pa.array(u["df"], type=pa.int64()),
+        "score_1e6": pa.array(u["score_1e6"], type=pa.int64()),
+    })
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH d AS (
+  SELECT source, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+t AS (SELECT source, unnest(toks) AS token FROM d),
+tf AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t GROUP BY source, token),
+df AS (SELECT token, CAST(COUNT(DISTINCT source) AS BIGINT) AS df
+       FROM t GROUP BY token),
+ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT tf.source, tf.token, tf.tf, df.df,
+         CAST(floor(tf.tf * ln(CAST(ns.n AS DOUBLE) / df.df) * 1000000 + 0.5)
+              AS BIGINT) AS score_1e6
+  FROM tf JOIN df USING (token), ns
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY score_1e6 DESC, token) AS rn FROM sc)
+SELECT source, token, tf, df, score_1e6 FROM r WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1923,6 +2116,11 @@ REGISTRY: dict[str, tuple] = {
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "near_dup_dedup_summary": (q_near_dup_dedup_summary,
                                SQL_NEAR_DUP_DEDUP_SUMMARY),
+    "running_totals_events": (q_running_totals_events,
+                              SQL_RUNNING_TOTALS_EVENTS),
+    "pivot_daily_event_types": (q_pivot_daily_event_types,
+                                SQL_PIVOT_DAILY_EVENT_TYPES),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
