@@ -2031,6 +2031,55 @@ SELECT source, token, tf, df, score_1e6 FROM r WHERE rn <= 3
 """
 
 
+def q_pack_sequences_documents(sf_dir: str):
+    """Sequence packing (context-window binning): documents in doc_id order
+    laid end-to-end, bin = floor(prefix_tokens_before / 2048) — the
+    streaming-packing semantics, computed as a distributed two-pass prefix
+    sum (pipelines/packing.pack_sequences: count pass drops text before the
+    sort, per-block offsets to the driver — one row per block — then a
+    broadcast streaming assign pass)."""
+    from .packing import pack_sequences
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return pack_sequences(ds, "doc_id", "text", capacity=2048)
+
+
+def q_packing_summary_documents(sf_dir: str):
+    """Bin accounting over the packed corpus: bins used, total tokens, and
+    the 1e6-scaled integer fill rate (exact on both sides)."""
+    from .packing import pack_sequences, packing_summary
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return packing_summary(pack_sequences(ds, "doc_id", "text", capacity=2048),
+                           capacity=2048)
+
+
+_PACKED_CTES = r"""n AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+       AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           // 2048 AS bin_id
+  FROM n
+)"""
+
+SQL_PACK_SEQUENCES_DOCUMENTS = ("WITH " + _PACKED_CTES + """
+SELECT doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id FROM packed
+""")
+
+SQL_PACKING_SUMMARY_DOCUMENTS = ("WITH " + _PACKED_CTES + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST((SUM(n_tokens) * 1000000) // ((MAX(bin_id) + 1) * 2048) AS BIGINT)
+         AS fill_rate_1e6
+FROM packed
+""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2121,6 +2170,10 @@ REGISTRY: dict[str, tuple] = {
     "pivot_daily_event_types": (q_pivot_daily_event_types,
                                 SQL_PIVOT_DAILY_EVENT_TYPES),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "pack_sequences_documents": (q_pack_sequences_documents,
+                                 SQL_PACK_SEQUENCES_DOCUMENTS),
+    "packing_summary_documents": (q_packing_summary_documents,
+                                  SQL_PACKING_SUMMARY_DOCUMENTS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
