@@ -2080,6 +2080,85 @@ FROM packed
 """)
 
 
+# Training-mixture rates: percent of each language band kept (down-weight
+# the dominant language, keep the rest).  Content-addressed (md5 band), so
+# the mixture is reproducible, resume-friendly, and SQL-replicable.
+_MIX_RATES = {"en": 30, "zh": 50}     # unlisted languages keep 100%
+
+
+def _md5_band_mask(ids, rates_for_rows):
+    import hashlib
+    return [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < r
+            for i, r in zip(ids, rates_for_rows)]
+
+
+def q_weighted_mix_documents(sf_dir: str):
+    """Weighted dataset mixing: keep a per-language fraction of the corpus
+    (the data-mixture op that rebalances a training set).  Same
+    deterministic md5-band predicate as the stratified sampler, with the
+    threshold looked up per row from the mixture table — one streaming
+    filter pass, no shuffle, no RNG state."""
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        rates = [_MIX_RATES.get(l, 100) for l in b["lang"].to_pylist()]
+        return b.filter(pa.array(_md5_band_mask(ids, rates)))
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_mixture_summary_documents(sf_dir: str):
+    """Per-language mixture accounting: total docs, kept docs, and the
+    configured rate — the report a mixing run emits.  Per-batch combiner
+    partials (lang, n_total, n_kept); the merge is a tiny per-lang sum."""
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = b["doc_id"].to_pylist()
+        langs = b["lang"].to_pylist()
+        rates = [_MIX_RATES.get(l, 100) for l in langs]
+        kept = _md5_band_mask(ids, rates)
+        g = pd.DataFrame({"lang": langs, "kept": kept}).groupby(
+            "lang", sort=False)["kept"].agg(["size", "sum"]).reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "n_total": pa.array(g["size"], type=pa.int64()),
+            "n_kept": pa.array(g["sum"], type=pa.int64()),
+        })
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g):
+        return pa.table({
+            "lang": pa.array([g["lang"].iloc[0]], type=pa.string()),
+            "n_total": pa.array([int(g["n_total"].sum())], type=pa.int64()),
+            "n_kept": pa.array([int(g["n_kept"].sum())], type=pa.int64()),
+            "rate_pct": pa.array([int(_MIX_RATES.get(g["lang"].iloc[0], 100))],
+                                 type=pa.int64()),
+        })
+
+    return partials.groupby("lang").map_groups(merge, batch_format="pandas")
+
+
+_MIX_RATE_SQL = "CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50 ELSE 100 END"
+
+SQL_WEIGHTED_MIX_DOCUMENTS = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < {_MIX_RATE_SQL}
+"""
+
+SQL_MIXTURE_SUMMARY_DOCUMENTS = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < {_MIX_RATE_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST({_MIX_RATE_SQL} AS BIGINT) AS rate_pct
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2174,6 +2253,10 @@ REGISTRY: dict[str, tuple] = {
                                  SQL_PACK_SEQUENCES_DOCUMENTS),
     "packing_summary_documents": (q_packing_summary_documents,
                                   SQL_PACKING_SUMMARY_DOCUMENTS),
+    "weighted_mix_documents": (q_weighted_mix_documents,
+                               SQL_WEIGHTED_MIX_DOCUMENTS),
+    "mixture_summary_documents": (q_mixture_summary_documents,
+                                  SQL_MIXTURE_SUMMARY_DOCUMENTS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
