@@ -147,7 +147,9 @@ def run_bench() -> dict:
     suite = ["pricing_summary", "validate_props_events", "exact_dedup_documents",
              "minhash_lsh_candidates", "ann_topk_cosine", "sessions_per_user",
              "token_counts_documents", "vocab_top_tokens",
-             "repetition_stats_documents"]
+             "repetition_stats_documents", "near_dup_dedup_summary",
+             "tfidf_top_terms", "pack_sequences_documents",
+             "running_totals_events"]
     reg = q.queries()
     for name in suite:
         def run(name=name):
