@@ -2159,6 +2159,138 @@ FROM documents GROUP BY lang
 """
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroids as EXACT integer moments: each vector
+    element is floor(x * 1e6) (identical IEEE double op on both sides), the
+    per-(label, dim) sums are int64 — no float summation-order sensitivity —
+    and the caller divides sum_1e6 / n / 1e6 for the mean vector.  One scan;
+    per-batch partials are (labels x 64) rows; the reduce groups by label
+    (bounded group count)."""
+    from .similarity import matrix_from_list_array
+
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"),
+                            columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = matrix_from_list_array(b["embedding"])
+        if len(vecs) == 0:
+            return pa.table({"label": pa.array([], type=pa.int32()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "sum_1e6": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        scaled = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        ndim = scaled.shape[1]
+        sums = np.zeros((len(uniq), ndim), dtype=np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, ndim).astype(np.int32)),
+            "dim": pa.array(np.tile(np.arange(ndim, dtype=np.int64), len(uniq))),
+            "sum_1e6": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, ndim)),
+        })
+
+    def merge(g):
+        out = g.groupby("dim", sort=True)[["sum_1e6", "n"]].sum().reset_index()
+        return pa.table({
+            "label": pa.array([int(g["label"].iloc[0])] * len(out),
+                              type=pa.int64()),
+            "dim": pa.array(out["dim"], type=pa.int64()),
+            "sum_1e6": pa.array(out["sum_1e6"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("label").map_groups(merge, batch_format="pandas")
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_1e6,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
+def q_correlation_chars_tokens(sf_dir: str):
+    """Pearson correlation between document byte length and token count as
+    EXACT integer moments (n, sums, squares, cross) from one scan of
+    per-batch partials; r is derived from the ints with an identical
+    double-precision expression on both sides, so the 1e6-scaled output is
+    bit-stable."""
+    from ..stages.text import token_counts_arrow
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["n_chars", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = token_counts_arrow(b["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    syy = sum(r["syy"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    # EXPRESSION ORDER matters for bit-parity: keep identical to the SQL
+    import math
+    r_1e6 = int(math.floor(
+        (float(n) * sxy - float(sx) * sy)
+        / math.sqrt((float(n) * sxx - float(sx) * sx)
+                    * (float(n) * syy - float(sy) * sy))
+        * 1_000_000 + 0.5))
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "sx": pa.array([sx], type=pa.int64()),
+        "sy": pa.array([sy], type=pa.int64()),
+        "sxx": pa.array([sxx], type=pa.int64()),
+        "syy": pa.array([syy], type=pa.int64()),
+        "sxy": pa.array([sxy], type=pa.int64()),
+        "r_1e6": pa.array([r_1e6], type=pa.int64()),
+    })
+
+
+SQL_CORRELATION_CHARS_TOKENS = r"""
+WITH t AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS y
+  FROM documents
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM t
+)
+SELECT n, sx, sy, sxx, syy, sxy,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            * 1000000 + 0.5) AS BIGINT) AS r_1e6
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2257,6 +2389,9 @@ REGISTRY: dict[str, tuple] = {
                                SQL_WEIGHTED_MIX_DOCUMENTS),
     "mixture_summary_documents": (q_mixture_summary_documents,
                                   SQL_MIXTURE_SUMMARY_DOCUMENTS),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "correlation_chars_tokens": (q_correlation_chars_tokens,
+                                 SQL_CORRELATION_CHARS_TOKENS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
