@@ -833,3 +833,64 @@ def near_dup_dedup_summary(ds, text_column: str = "text",
         "n_removed": pa.array([n_removed], type=pa.int64()),
         "n_kept": pa.array([n_docs - n_removed], type=pa.int64()),
     })
+
+
+def near_dup_survivors(ds, text_column: str = "text",
+                       id_column: str = "doc_id", threshold: float = 0.5,
+                       broadcast_limit: int = BROADCAST_KEY_LIMIT, **kwargs):
+    """The deduplicated corpus itself: drop every clustered document except
+    its component's canonical label.  The removed-id set (cluster members
+    minus one survivor each) is the SMALL side — a fraction of the near-dup
+    nodes, which are themselves a fraction of the corpus — so it broadcasts
+    (``ray.put`` once, ``is_in`` per batch, zero shuffle of the corpus);
+    above ``broadcast_limit`` it falls back to a distributed anti-join on
+    the id column.  Returns a Dataset with the input's columns."""
+    import ray
+
+    comps = near_dup_components(ds, text_column, id_column,
+                                threshold=threshold, **kwargs)
+    removed = comps.map_batches(
+        lambda b: pa.table({id_column: b[id_column].filter(
+            pc.not_equal(b[id_column], b["component"]))}),
+        batch_format="pyarrow").materialize()
+    n_removed = removed.count()
+    if n_removed == 0:
+        return ds
+    if n_removed <= broadcast_limit:
+        ids = pa.concat_tables(
+            [pa.table({id_column: b[id_column]}) for b in
+             removed.iter_batches(batch_format="pyarrow")])[id_column]
+        # ids are the stringified form connected_components emits; compare
+        # against the input column cast the same way
+        removed_ref = ray.put(ids.combine_chunks())
+        return ds.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(
+                pc.cast(b[id_column], pa.string()),
+                value_set=ray.get(removed_ref)))),
+            batch_format="pyarrow")
+    # distributed anti-join: inner-join survivors? Ray's join has no anti
+    # type, so tag-and-filter: left join corpus ids against removed ids and
+    # keep unmatched.  The corpus side ships (id) only; payload is re-read
+    # by a second is_in pass against the surviving id set per bucket — at
+    # this scale the caller should prefer raising broadcast_limit or
+    # partitioning the removal by id range; documented trade-off.
+    removed_flag = removed.map_batches(
+        lambda b: b.append_column("__removed", pa.array(
+            np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    keyed = ds.map_batches(
+        lambda b: b.append_column("__join_id", pc.cast(b[id_column],
+                                                       pa.string())),
+        batch_format="pyarrow")
+    joined = keyed.join(
+        removed_flag.map_batches(
+            lambda b: pa.table({"__join_id": b[id_column],
+                                "__removed": b["__removed"]}),
+            batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=max(16, _default_concurrency()),
+        on=("__join_id",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["__removed"])).drop_columns(
+            ["__join_id", "__removed"]),
+        batch_format="pyarrow")

@@ -2291,6 +2291,26 @@ FROM m
 """
 
 
+def q_near_dup_survivors_documents(sf_dir: str):
+    """The deduplicated corpus: documents minus every non-canonical member
+    of each near-dup cluster (pipelines/dedup.near_dup_survivors — removed
+    ids broadcast once, one is_in filter pass over the corpus; distributed
+    anti-join above the broadcast limit)."""
+    from .dedup import near_dup_survivors
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "lang", "text"])
+    surv = near_dup_survivors(ds, "text", "doc_id", threshold=0.5)
+    return surv.map_batches(lambda b: b.select(["doc_id", "lang"]),
+                            batch_format="pyarrow")
+
+
+SQL_NEAR_DUP_SURVIVORS_DOCUMENTS = ("WITH RECURSIVE " + _PAIR_GRAPH_CTES + """,
+removed AS (SELECT v FROM comp WHERE v <> component)
+SELECT doc_id, lang FROM documents
+WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT v FROM removed)
+""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2392,6 +2412,8 @@ REGISTRY: dict[str, tuple] = {
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "correlation_chars_tokens": (q_correlation_chars_tokens,
                                  SQL_CORRELATION_CHARS_TOKENS),
+    "near_dup_survivors_documents": (q_near_dup_survivors_documents,
+                                     SQL_NEAR_DUP_SURVIVORS_DOCUMENTS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first

@@ -96,3 +96,36 @@ def test_near_dup_dedup_summary_accounting(ray_session):
     assert row["n_removed"] == 3
     assert row["n_kept"] == 5
     assert row["n_kept"] + row["n_removed"] == row["n_docs"]
+
+
+def _corpus():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(8)], type=pa.string()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely different content about ray data engines",
+            "completely different content about ray data engines here",
+            "unique text one with no resemblance to anything else at all",
+            "unique second text nothing shared with other documents here",
+            "entirely separate third standalone document text body",
+        ]),
+    }))
+
+
+def test_near_dup_survivors_broadcast_path(ray_session):
+    from json_schema_validate_ray.pipelines.dedup import near_dup_survivors
+    surv = near_dup_survivors(_corpus(), "text", "doc_id", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in surv.take_all())
+    # clusters {d0,d1,d2} and {d3,d4} keep their min member
+    assert kept == ["d0", "d3", "d5", "d6", "d7"]
+
+
+def test_near_dup_survivors_anti_join_path(ray_session):
+    from json_schema_validate_ray.pipelines.dedup import near_dup_survivors
+    surv = near_dup_survivors(_corpus(), "text", "doc_id", threshold=0.5,
+                              broadcast_limit=0)
+    kept = sorted(r["doc_id"] for r in surv.take_all())
+    assert kept == ["d0", "d3", "d5", "d6", "d7"]
