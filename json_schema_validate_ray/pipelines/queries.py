@@ -2311,6 +2311,79 @@ WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT v FROM removed)
 """)
 
 
+def q_ndv_by_group(sf_dir: str):
+    """Per-group exact NDV (distinct sources per language): per-batch
+    distinct (lang, source) pairs are the combiner, a pair-bucketed exchange
+    dedupes globally (all rows of one pair share a bucket), and the final
+    per-lang count is a tiny aggregate.  Shuffle volume is bounded by the
+    distinct-pair count x blocks, never the row count."""
+    from .dedup import _group_by_key_buckets
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                          "source": b["source"].to_pandas()}).drop_duplicates()
+        return pa.table({
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "source": pa.array(g["source"], type=pa.string()),
+            "pair": pa.array(g["lang"] + "\x1f" + g["source"], type=pa.string()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def dedupe(g):
+        g = g.drop_duplicates("pair")
+        return pa.table({"lang": pa.array(g["lang"], type=pa.string())})
+
+    langs = _group_by_key_buckets(partials, "pair").map_groups(
+        dedupe, batch_format="pandas")
+
+    def count(g):
+        return pa.table({
+            "lang": pa.array([g["lang"].iloc[0]], type=pa.string()),
+            "n_sources": pa.array([len(g)], type=pa.int64()),
+        })
+
+    return langs.groupby("lang").map_groups(count, batch_format="pandas")
+
+
+SQL_NDV_BY_GROUP = """
+SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_outlier_docs_by_length(sf_dir: str):
+    """Quantile-threshold outlier filter: documents longer than the exact
+    p99 of n_chars.  The threshold comes from the shuffle-free bounded-domain
+    bincount quantile (stages/checks.exact_bounded_quantiles — O(domain)
+    driver memory, matches DuckDB quantile_disc), then one broadcast filter
+    pass emits the outliers."""
+    from ..stages.checks import exact_bounded_quantiles
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "n_chars"])
+    mm = ds.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([int(pc.min(b["n_chars"]).as_py() or 0)], type=pa.int64()),
+            "hi": pa.array([int(pc.max(b["n_chars"]).as_py() or 0)], type=pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    (p99,), _n = exact_bounded_quantiles(ds, "n_chars", [0.99], lo, hi)
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater(b["n_chars"], pa.scalar(int(p99)))),
+        batch_format="pyarrow")
+
+
+SQL_OUTLIER_DOCS_BY_LENGTH = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2414,6 +2487,9 @@ REGISTRY: dict[str, tuple] = {
                                  SQL_CORRELATION_CHARS_TOKENS),
     "near_dup_survivors_documents": (q_near_dup_survivors_documents,
                                      SQL_NEAR_DUP_SURVIVORS_DOCUMENTS),
+    "ndv_by_group": (q_ndv_by_group, SQL_NDV_BY_GROUP),
+    "outlier_docs_by_length": (q_outlier_docs_by_length,
+                               SQL_OUTLIER_DOCS_BY_LENGTH),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
