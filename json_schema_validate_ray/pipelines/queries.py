@@ -2384,6 +2384,132 @@ WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)
 """
 
 
+def q_vocab_topk_sketch(sf_dir: str):
+    """Top-20 tokens via the SpaceSaving heavy-hitters sketch
+    (state/sketches.SpaceSaving) — the 100-TB path for unbounded
+    vocabularies: one pickled sketch per block to the driver (size bounded
+    by ``capacity``, independent of corpus size), merged treewise.  At this
+    corpus's vocabulary the sketch is provably EXACT (distinct tokens <<
+    capacity, every error 0 — asserted), so it shares the exact-count SQL
+    oracle with ``vocab_top_tokens``; beyond capacity it degrades to the
+    documented <= n/capacity error bound instead of an unbounded exchange."""
+    from ..stages.text import split_tokens_arrow
+    from ..state.sketches import SpaceSaving
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, flat, _ = split_tokens_arrow(b["text"])
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        keys = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_pylist()
+        sk = SpaceSaving(capacity=4096)
+        sk.add_many((k for k, _ in zip(keys, cnts) if k not in (None, "")),
+                    (c for k, c in zip(keys, cnts) if k not in (None, "")))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], type=pa.binary())})
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = SpaceSaving(capacity=4096)
+    for r in rows:
+        merged.merge(SpaceSaving.from_bytes(r["sketch"]))
+    assert merged.is_exact, "vocabulary exceeded sketch capacity"
+    top = merged.topk(20)
+    return pa.table({
+        "token": pa.array([t for t, _, _ in top], type=pa.string()),
+        "n": pa.array([c for _, c, _ in top], type=pa.int64()),
+    })
+
+
+def q_lag_delta_events(sf_dir: str):
+    """LAG window (per-user delta vs the previous event): co-partition by
+    user, one vectorized pandas shift per bucket over (user_id, ts,
+    event_id) order.  Money as exact int64 cents on both sides; the first
+    event per user has a NULL delta, matching SQL LAG."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def lag(g):
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        prev = g.assign(c=cents).groupby("user_id", sort=False)["c"].shift(1)
+        delta = cents - prev.to_numpy()     # NaN propagates for firsts
+        return pa.table({
+            "event_id": pa.array(g["event_id"], type=pa.int64()),
+            "user_id": pa.array(g["user_id"], type=pa.int64()),
+            "delta_cents": pa.Array.from_pandas(
+                __import__("pandas").Series(delta)).cast(pa.int64()),
+        })
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket").map_groups(lag, batch_format="pandas"))
+
+
+SQL_LAG_DELTA_EVENTS = """
+SELECT event_id, user_id,
+       CAST(floor(value * 100 + 0.5) AS BIGINT)
+         - LAG(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+FROM events
+"""
+
+
+def q_rollup_lang_source(sf_dir: str):
+    """ROLLUP aggregate: counts at (lang, source), (lang), and grand-total
+    levels.  The base (lang, source) counts come from combiner partials +
+    a pair-bucketed merge (shuffle bounded by pair cardinality); the
+    super-aggregate levels are derived from the base counts on the driver —
+    they are strictly smaller, so no second scan."""
+    from .dedup import _group_by_key_buckets
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                          "source": b["source"].to_pandas()})
+        out = g.groupby(["lang", "source"], sort=False).size().reset_index(name="n")
+        out["pair"] = out["lang"] + "\x1f" + out["source"]
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "source": pa.array(out["source"], type=pa.string()),
+            "pair": pa.array(out["pair"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def merge(g):
+        out = g.groupby(["lang", "source"], sort=False)["n"].sum().reset_index()
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "source": pa.array(out["source"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    base = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "pair").map_groups(
+        merge, batch_format="pandas").take_all()
+    import pandas as pd
+    b = pd.DataFrame(base)
+    langs = b.groupby("lang", as_index=False)["n"].sum()
+    total = int(b["n"].sum())
+    lang_col = (list(b["lang"]) + list(langs["lang"]) + [None])
+    src_col = (list(b["source"]) + [None] * len(langs) + [None])
+    n_col = (list(b["n"]) + list(langs["n"]) + [total])
+    return pa.table({
+        "lang": pa.array(lang_col, type=pa.string()),
+        "source": pa.array(src_col, type=pa.string()),
+        "n": pa.array([int(x) for x in n_col], type=pa.int64()),
+    })
+
+
+SQL_ROLLUP_LANG_SOURCE = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2490,6 +2616,9 @@ REGISTRY: dict[str, tuple] = {
     "ndv_by_group": (q_ndv_by_group, SQL_NDV_BY_GROUP),
     "outlier_docs_by_length": (q_outlier_docs_by_length,
                                SQL_OUTLIER_DOCS_BY_LENGTH),
+    "vocab_topk_sketch": (q_vocab_topk_sketch, SQL_VOCAB_TOP_TOKENS),
+    "lag_delta_events": (q_lag_delta_events, SQL_LAG_DELTA_EVENTS),
+    "rollup_lang_source": (q_rollup_lang_source, SQL_ROLLUP_LANG_SOURCE),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first

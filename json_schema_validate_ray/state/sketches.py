@@ -456,3 +456,76 @@ class ColumnStats:
         o = cls()
         o.__dict__.update(pickle.loads(b))
         return o
+
+
+class SpaceSaving:
+    """Heavy-hitters (frequent-items) sketch — the SpaceSaving algorithm
+    (Metwally, Agrawal, El Abbadi, "Efficient computation of frequent and
+    top-k elements in data streams", ICDT 2005): at most ``capacity``
+    counters; an unseen key evicts the minimum counter and inherits its
+    count as the new key's overestimation error.  Guarantees: every true
+    count is <= reported count <= true count + error; any key with true
+    frequency > n/capacity is retained.  EXACT (error 0 everywhere) while
+    the distinct-key count never exceeds ``capacity`` — the regime the
+    small-scale oracle verifies; at 100 TB the same pipeline degrades
+    gracefully to the documented error bound instead of OOMing on an
+    unbounded vocabulary.
+
+    Mergeable (per-block partial -> driver/tree reduce): counts and errors
+    sum for shared keys, then the merged table is truncated back to
+    ``capacity`` by count (ties broken by key for determinism)."""
+
+    def __init__(self, capacity: int = 4096):
+        self.capacity = int(capacity)
+        self.counts: dict = {}
+        self.errors: dict = {}
+
+    def add_many(self, keys, weights) -> None:
+        """Bulk update: pre-aggregated (key, weight) pairs — callers pass
+        np.unique/value_counts output so the per-key Python cost is bounded
+        by the batch's DISTINCT keys, not its rows."""
+        counts, errors, cap = self.counts, self.errors, self.capacity
+        for k, w in zip(keys, weights):
+            w = int(w)
+            if k in counts:
+                counts[k] += w
+            elif len(counts) < cap:
+                counts[k] = w
+                errors[k] = 0
+            else:
+                mkey = min(counts, key=lambda x: (counts[x], x))
+                m = counts.pop(mkey)
+                errors.pop(mkey)
+                counts[k] = m + w
+                errors[k] = m
+
+    def merge(self, other: "SpaceSaving") -> None:
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+            self.errors[k] = self.errors.get(k, 0) + other.errors[k]
+        if len(self.counts) > self.capacity:
+            keep = sorted(self.counts,
+                          key=lambda x: (-self.counts[x], x))[: self.capacity]
+            keep_set = set(keep)
+            self.counts = {k: self.counts[k] for k in keep_set}
+            self.errors = {k: self.errors[k] for k in keep_set}
+
+    def topk(self, k: int) -> list:
+        """[(key, count, error)] — count desc, key asc (deterministic)."""
+        order = sorted(self.counts, key=lambda x: (-self.counts[x], x))[:k]
+        return [(x, self.counts[x], self.errors[x]) for x in order]
+
+    @property
+    def is_exact(self) -> bool:
+        return all(e == 0 for e in self.errors.values())
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            (self.capacity, self.counts, self.errors), protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "SpaceSaving":
+        cap, counts, errors = pickle.loads(b)
+        o = cls(cap)
+        o.counts, o.errors = counts, errors
+        return o
