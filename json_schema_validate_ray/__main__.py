@@ -60,6 +60,14 @@ def main(argv=None) -> int:
     g.add_argument("--partitions", type=int, default=32)
     g.add_argument("--seed", type=int, default=42)
 
+    c = sub.add_parser("curate", help="mix -> near-dup dedup -> pack; "
+                       "writes bin-partitioned parquet")
+    c.add_argument("input_dir", help="documents parquet (doc_id, lang, text)")
+    c.add_argument("out_dir")
+    c.add_argument("--capacity", type=int, default=2048)
+    c.add_argument("--threshold", type=float, default=0.5)
+    c.add_argument("--bins-per-file", type=int, default=64)
+
     qp = sub.add_parser("query", help="run a registry pipeline by name")
     qp.add_argument("name", nargs="?", default=None)
     qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -115,6 +123,38 @@ def main(argv=None) -> int:
             print(json.dumps({"query": args.name, "rows_shown": len(rows),
                               "rows_total": int(total), "rows": rows},
                              default=str))
+        elif args.cmd == "curate":
+            import os.path
+
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            import ray.data as rd
+
+            from .pipelines.curate import curate_corpus, curate_summary
+            from .pipelines.queries import _MIX_RATES
+            in_path = args.input_dir
+            if (not in_path.endswith(".parquet")
+                    and os.path.isfile(os.path.join(in_path, "documents.parquet"))):
+                in_path = os.path.join(in_path, "documents.parquet")
+            ds = rd.read_parquet(in_path,
+                                 columns=["doc_id", "lang", "text"])
+            packed = curate_corpus(ds, mix_rates=_MIX_RATES,
+                                   threshold=args.threshold,
+                                   capacity=args.capacity)
+            bpf = args.bins_per_file
+            packed.map_batches(
+                lambda b: b.append_column(
+                    "bin_group", _pc.cast(_pc.floor(_pc.divide(
+                        _pc.cast(b["bin_id"], _pa.float64()), bpf)),
+                        _pa.int64())),
+                batch_format="pyarrow").write_parquet(
+                args.out_dir, partition_cols=["bin_group"])
+            summ = curate_summary(
+                rd.read_parquet(in_path,
+                                columns=["doc_id", "lang", "text"]),
+                mix_rates=_MIX_RATES, threshold=args.threshold,
+                capacity=args.capacity).to_pylist()[0]
+            print(json.dumps({"out": args.out_dir, **summ}))
         elif args.cmd == "suite":
             import ray.data as rd
 

@@ -2510,6 +2510,98 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_curate_summary_documents(sf_dir: str):
+    """FLAGSHIP COMPOSITION: weighted mixture filter -> near-dup dedup
+    (pairs -> components -> canonical survivors) -> sequence packing, in one
+    pipeline (pipelines/curate.py), reported as a one-row exact-int summary.
+    The oracle chains the SAME predicates as SQL CTEs — the end-to-end
+    composition is bit-checked, not just each stage."""
+    from .curate import curate_summary
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "lang", "text"])
+    return curate_summary(ds, mix_rates=_MIX_RATES, threshold=0.5,
+                          capacity=2048)
+
+
+# the near-dup CTE chain over the MIXED corpus: same shingle/jaccard/closure
+# CTEs as _PAIR_GRAPH_CTES but with the mixture band predicate folded into
+# the base selection.
+_CURATE_CTES = r"""mixed AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50 ELSE 100 END
+),
+d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM mixed
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+j AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+    CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+         WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
+),
+p AS (
+  SELECT CAST(ia AS VARCHAR) AS id_a, CAST(ib AS VARCHAR) AS id_b
+  FROM j WHERE jac >= 0.5
+),
+e AS (
+  SELECT id_a AS sn, id_b AS dn FROM p
+  UNION
+  SELECT id_b AS sn, id_a AS dn FROM p
+),
+reach(v, l) AS (
+  SELECT sn, sn FROM e
+  UNION
+  SELECT e2.dn, r.l FROM reach r JOIN e e2 ON e2.sn = r.v
+),
+comp AS (
+  SELECT v, MIN(l) AS component FROM reach GROUP BY v
+),
+removed AS (SELECT v FROM comp WHERE v <> component),
+surv AS (
+  SELECT doc_id, text FROM mixed
+  WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT v FROM removed)
+),
+nt AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+       AS n_tokens
+  FROM surv
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           // 2048 AS bin_id
+  FROM nt
+)"""
+
+SQL_CURATE_SUMMARY_DOCUMENTS = ("WITH RECURSIVE " + _CURATE_CTES + """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mixed) AS n_after_mix,
+       CAST(COUNT(*) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST((SUM(n_tokens) * 1000000) // ((MAX(bin_id) + 1) * 2048) AS BIGINT)
+         AS fill_rate_1e6
+FROM packed
+""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2619,6 +2711,8 @@ REGISTRY: dict[str, tuple] = {
     "vocab_topk_sketch": (q_vocab_topk_sketch, SQL_VOCAB_TOP_TOKENS),
     "lag_delta_events": (q_lag_delta_events, SQL_LAG_DELTA_EVENTS),
     "rollup_lang_source": (q_rollup_lang_source, SQL_ROLLUP_LANG_SOURCE),
+    "curate_summary_documents": (q_curate_summary_documents,
+                                 SQL_CURATE_SUMMARY_DOCUMENTS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
