@@ -686,14 +686,21 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     default path pulls the edge list to the driver once (<= broadcast_limit
     edges) and runs union-find — exact, one pass, no iteration.
 
-    Above the limit the DISTRIBUTED path runs hash-min label propagation:
-    ``labels(v)`` start at ``v``; every round does two coarse-bucket
-    all-to-alls — (1) key rows by src to attach ``label[src]`` to each edge,
-    (2) key messages by dst and take the per-node min — and terminates when
-    no label changed (monotone decrease; converges in graph-diameter rounds,
-    short for near-dup blobs).  Shuffle volume per round is O(E + V) id/label
-    pairs; no text payload ever enters the exchange.  Raises RuntimeError if
-    ``max_iters`` rounds don't converge (pathological long-chain graph)."""
+    Above the limit the DISTRIBUTED path runs BSP hash-min label propagation
+    on raw Ray tasks — the one place in this repo where the Dataset API
+    genuinely can't express the semantics (iterative per-partition state):
+    a Dataset-shuffle round loop pays two sort-based all-to-alls plus a
+    materialize per round (measured ~15 s/round on a 150k-node graph), while
+    the BSP loop re-partitions NOTHING after setup.  Edges are hash-sharded
+    by ``src`` into B buckets once (block refs -> shard tasks -> per-bucket
+    concat, never touching the driver); each round is B ``propagate`` tasks
+    (attach ``label[src]``, emit (dst, label) messages pre-bucketed by
+    ``hash(dst)``) and B ``reduce`` tasks (per-node min against the bucket's
+    current labels), exchanging only id/label pair tables through the object
+    store.  Labels decrease monotonically; terminates when no label changed
+    (graph-diameter rounds, short for near-dup blobs).  Driver handles only
+    O(B^2) object refs per round.  Raises RuntimeError if ``max_iters``
+    rounds don't converge (pathological long-chain graph)."""
     import ray.data as rd
 
     def sym(b: pa.Table):
@@ -720,78 +727,103 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
             "node": pa.array(nodes, type=pa.string()),
             "component": pa.array([comp[v] for v in nodes], type=pa.string())}))
 
-    # ---- distributed hash-min label propagation ----
-    def init_labels(b: pa.Table):
-        return pa.table({"key": b["src"], "dst": b["src"], "is_label": pa.array(
-            np.ones(b.num_rows, dtype=np.int8))})
+    # ---- distributed BSP hash-min label propagation (raw Ray tasks) ----
+    import ray
+    from ..state.sketches import _hash64
 
-    # labels as (key=node, dst=label, is_label=1); dedup nodes first
-    def dedup_nodes(g):
-        nodes = g["key"].drop_duplicates()
-        return pa.table({"key": pa.array(nodes, type=pa.string()),
-                         "dst": pa.array(nodes, type=pa.string()),
-                         "is_label": pa.array(np.ones(len(nodes), dtype=np.int8))})
+    # one bucket holds ~500k edges in expectation; B^2 message objects per
+    # round bounds B (256 -> 65k tiny refs/round, still driver-cheap)
+    n_buckets = int(max(8, min(256, -(-n_edges // 500_000))))
 
-    labels = _group_by_key_buckets(
-        edges.map_batches(init_labels, batch_format="pyarrow"), "key",
-        rows_estimate=n_edges).map_groups(
-        dedup_nodes, batch_format="pandas").materialize()
+    empty_msgs = pa.table({"node": pa.array([], type=pa.string()),
+                           "cand": pa.array([], type=pa.string())})
+    empty_edges = pa.table({"src": pa.array([], type=pa.string()),
+                            "dst": pa.array([], type=pa.string()),
+                            "dst_bucket": pa.array([], type=pa.int32())})
 
-    def tag_edges(b: pa.Table):
-        return pa.table({"key": b["src"], "dst": b["dst"], "is_label": pa.array(
-            np.zeros(b.num_rows, dtype=np.int8))})
+    def _shard_block(tbl: pa.Table, nb: int) -> list:
+        """Split one edge block into nb sub-tables by hash(src) % nb, with
+        hash(dst) % nb precomputed once (rounds never re-hash)."""
+        sb = (_hash64(tbl["src"]) % np.uint64(nb)).astype(np.int32)
+        db = (_hash64(tbl["dst"]) % np.uint64(nb)).astype(np.int32)
+        t = tbl.append_column("dst_bucket", pa.array(db))
+        return [t.filter(pa.array(sb == b)) for b in range(nb)]
 
-    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow") \
-                        .materialize()
+    def _build_bucket(*shards):
+        live = [s for s in shards if s.num_rows]
+        t = pa.concat_tables(live) if live else empty_edges
+        nodes = pc.unique(t["src"])
+        return t, pa.table({"node": nodes, "label": nodes})
 
-    def propagate(g):
-        # one coarse bucket: label rows (is_label=1) carry label[key];
-        # edge rows need that label forwarded to their dst (and kept on key)
-        lab = g[g["is_label"] == 1][["key", "dst"]].rename(
-            columns={"dst": "label"})
-        ed = g[g["is_label"] == 0][["key", "dst"]]
-        m = ed.merge(lab, on="key", how="left")
-        import pandas as pd
-        node = pd.concat([m["dst"], lab["key"]], ignore_index=True)
-        cand = pd.concat([m["label"], lab["label"]], ignore_index=True)
-        is_old = np.zeros(len(node), dtype=np.int8)
-        is_old[len(m):] = 1
-        return pa.table({"node": pa.array(node, type=pa.string()),
-                         "cand": pa.array(cand, type=pa.string()),
-                         "is_old": pa.array(is_old)})
+    def _propagate(edges_tbl: pa.Table, labels_tbl: pa.Table, nb: int) -> list:
+        # pure Arrow: label lookup is index_in + take (C++ hash join); the
+        # pandas reindex equivalent measured 10x slower on object strings
+        if edges_tbl.num_rows == 0:
+            return [empty_msgs] * nb
+        pos = pc.index_in(edges_tbl["src"], value_set=labels_tbl["node"]
+                          .combine_chunks())
+        cand = labels_tbl["label"].take(pos)
+        msgs = pa.table({"node": edges_tbl["dst"], "cand": cand})
+        db = edges_tbl["dst_bucket"].to_numpy()
+        return [msgs.filter(pa.array(db == b)) if (db == b).any()
+                else empty_msgs for b in range(nb)]
 
-    def reduce_min(g):
-        gg = g.groupby("node", sort=False)["cand"].min()
-        old = g[g["is_old"] == 1].set_index("node")["cand"]
-        new = gg
-        changed = (new < old.reindex(new.index)).fillna(True)
-        return pa.table({
-            "key": pa.array(new.index, type=pa.string()),
-            "dst": pa.array(new.values, type=pa.string()),
-            "is_label": pa.array(np.ones(len(new), dtype=np.int8)),
-            "changed": pa.array(changed.to_numpy().astype(np.int64))})
+    def _reduce_min(labels_tbl: pa.Table, *msg_tbls):
+        # Arrow hash-aggregate min on strings runs in C++ (~100x the pandas
+        # object-dtype groupby(level=0).min() that first dominated rounds)
+        live = [m for m in msg_tbls if m.num_rows]
+        if labels_tbl.num_rows == 0 or not live:
+            return labels_tbl, 0
+        msgs = pa.concat_tables(live)
+        agg = pa.TableGroupBy(msgs, "node").aggregate([("cand", "min")])
+        pos = pc.index_in(labels_tbl["node"], value_set=agg["node"]
+                          .combine_chunks())
+        incoming = agg["cand_min"].take(pos)  # null index -> null (no msg)
+        cur = labels_tbl["label"]
+        lower = pc.fill_null(pc.less(incoming, cur), False)
+        n_changed = pc.sum(pc.cast(lower, pa.int64())).as_py() or 0
+        if not n_changed:
+            return labels_tbl, 0
+        new = pc.if_else(lower, incoming, cur)
+        return pa.table({"node": labels_tbl["node"], "label": new}), n_changed
+
+    shard_t = ray.remote(_shard_block)
+    build_t = ray.remote(num_returns=2)(_build_bucket)
+    prop_t = ray.remote(_propagate)
+    reduce_t = ray.remote(num_returns=2)(_reduce_min)
+
+    # one-time hash partition: block refs -> shard tasks -> per-bucket concat
+    block_refs = edges.to_arrow_refs()
+    matrix = [shard_t.options(num_returns=n_buckets).remote(r, n_buckets)
+              for r in block_refs]
+    if n_buckets == 1:  # num_returns=1 yields a bare ref to the list
+        matrix = [[m] for m in matrix]
+    edge_refs, label_refs = [], []
+    for b in range(n_buckets):
+        e_ref, l_ref = build_t.remote(*[row[b] for row in matrix])
+        edge_refs.append(e_ref)
+        label_refs.append(l_ref)
 
     for _ in range(max_iters):
-        msgs = _group_by_key_buckets(
-            edges_tagged.union(labels.map_batches(
-                lambda b: b.select(["key", "dst", "is_label"]),
-                batch_format="pyarrow")),
-            "key", rows_estimate=n_edges).map_groups(
-            propagate, batch_format="pandas")
-        new_labels = _group_by_key_buckets(
-            msgs, "node", rows_estimate=n_edges).map_groups(
-            reduce_min, batch_format="pandas").materialize()
-        n_changed = new_labels.sum("changed")
-        labels = new_labels
-        if not n_changed:
+        msg_matrix = [prop_t.options(num_returns=n_buckets).remote(
+            edge_refs[b], label_refs[b], n_buckets) for b in range(n_buckets)]
+        if n_buckets == 1:
+            msg_matrix = [[m] for m in msg_matrix]
+        changed_refs = []
+        for b in range(n_buckets):
+            label_refs[b], ch = reduce_t.remote(
+                label_refs[b], *[row[b] for row in msg_matrix])
+            changed_refs.append(ch)
+        if sum(ray.get(changed_refs)) == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components: no convergence in {max_iters} rounds "
             "(graph diameter exceeds max_iters; raise max_iters)")
 
-    return labels.map_batches(
-        lambda b: pa.table({"node": b["key"], "component": b["dst"]}),
+    import ray.data as _rd
+    return _rd.from_arrow_refs(label_refs).map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["label"]}),
         batch_format="pyarrow")
 
 
