@@ -2602,6 +2602,76 @@ FROM packed
 """)
 
 
+def q_ranked_docs_by_length(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(4) over the whole corpus (pipelines/rank.py):
+    the one window shape that needs a total order.  The read projects to
+    (doc_id, n_chars) so the single range-partitioned sort moves two int
+    columns, never text; ranks come from per-block offsets computed on one
+    tiny driver row per block (the packing prefix pattern); quartiles follow
+    from rank + total count with the SQL NTILE fill rule."""
+    from .rank import global_rank
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", "doc_id", descending=True, ntile=4)
+
+
+SQL_RANKED_DOCS_BY_LENGTH = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM documents
+WINDOW w AS (ORDER BY n_chars DESC, doc_id)
+"""
+
+
+def q_split_assign_documents(sf_dir: str):
+    """Content-addressed train/val/test split (90/5/5): the md5(doc_id) band
+    assigns every document a stable split — reproducible across runs,
+    machines and resumes with no RNG state, and any worker can compute it
+    independently (no shuffle at all; the split is a pure map).  Same band
+    convention as the stratified sampler and the decontamination benchmark
+    slice, so splits compose with both."""
+    import hashlib
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        band = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids], dtype=np.int64)
+        split = np.where(band < 90, "train", np.where(band < 95, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "band": pa.array(band, type=pa.int64()),
+                         "split": pa.array(split, type=pa.string())})
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_SPLIT_ASSIGN_DOCUMENTS = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS band
+  FROM documents)
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       CASE WHEN band < 90 THEN 'train'
+            WHEN band < 95 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """Semantic dedup over the embeddings table (SemDeDup,
+    pipelines/similarity.semdedup): k-means cells + within-cell cosine
+    pruning with deterministic smaller-id survivors.  Probabilistic cells
+    (k-means) — rows-only check; the per-cluster semantics are pinned
+    against brute force in tests/test_semdedup.py."""
+    from .similarity import semdedup
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"),
+                            columns=["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.85, n_clusters=8)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2713,6 +2783,10 @@ REGISTRY: dict[str, tuple] = {
     "rollup_lang_source": (q_rollup_lang_source, SQL_ROLLUP_LANG_SOURCE),
     "curate_summary_documents": (q_curate_summary_documents,
                                  SQL_CURATE_SUMMARY_DOCUMENTS),
+    "ranked_docs_by_length": (q_ranked_docs_by_length,
+                              SQL_RANKED_DOCS_BY_LENGTH),
+    "split_assign_documents": (q_split_assign_documents,
+                               SQL_SPLIT_ASSIGN_DOCUMENTS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
@@ -2723,6 +2797,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_srp_pairs": (q_embedding_srp_pairs, None),
     "ann_srp_topk": (q_ann_srp_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "semdedup_embeddings": (q_semdedup_embeddings, None),
 }
 
 

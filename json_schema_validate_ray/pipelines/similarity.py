@@ -268,3 +268,66 @@ def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
             "cosine": pa.array(g["cosine"], type=pa.float64())})
 
     return partial.groupby("query_id").map_groups(prune, batch_format="pandas")
+
+
+def semdedup(ds, threshold: float = 0.9, n_clusters: int = 16,
+             id_column: str = "vec_id", vec_column: str = "embedding",
+             seed: int = 29, chunk: int = 1024):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with the IVF k-means coarse quantizer, then within
+    each cluster drop every vector that has a >= ``threshold`` cosine
+    neighbor with a SMALLER id (deterministic survivor choice — the id
+    order replaces the paper's arbitrary keep-one).  Emits
+    (id, cell, kept) for every row.
+
+    Scale shape: centroids train on a bounded sample and broadcast via
+    ``ray.put``; cell assignment is one vectorized matmul per batch; the only
+    all-to-all moves (id, cell, vec) rows — grouped BY CELL, so per-group
+    memory is a cluster, not the corpus (the documented partitioning
+    assumption: raise ``n_clusters`` until clusters fit).  Within a cluster
+    the pairwise pass is tiled (``chunk`` rows at a time) so sim-matrix
+    memory is chunk x m, not m x m.  Probabilistic (k-means cells) — no SQL
+    oracle; pytest pins the per-cluster semantics against brute force."""
+    import ray
+
+    from ..stages.taskcache import cached_stage
+
+    centroids = train_ivf_centroids(ds, n_centroids=n_clusters,
+                                    vec_column=vec_column, seed=seed)
+    centroids_ref = ray.put(centroids)
+
+    class _Assign:
+        def __init__(self):
+            self.centroids = ray.get(centroids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(matrix_from_list_array(batch[vec_column]))
+            cells = (np.argmax(mat @ self.centroids.T, axis=1).astype(np.int32)
+                     if len(mat) else np.array([], dtype=np.int32))
+            return pa.table({
+                id_column: batch[id_column],
+                "cell": pa.array(cells),
+                vec_column: batch[vec_column]})
+
+    assigned = ds.repartition(_scan_partitions(ds)).map_batches(
+        cached_stage(_Assign), batch_format="pyarrow")
+
+    def prune(g):
+        g = g.sort_values(id_column)
+        mat = _normalize(np.array(list(g[vec_column]), dtype=np.float32))
+        m = len(mat)
+        kept = np.ones(m, dtype=bool)
+        col = np.arange(m)
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = mat[lo:hi] @ mat.T          # (hi-lo, m)
+            # duplicate iff any smaller-id row is >= threshold similar
+            dup = ((sims >= threshold) &
+                   (col[None, :] < np.arange(lo, hi)[:, None])).any(axis=1)
+            kept[lo:hi] = ~dup
+        return pa.table({
+            id_column: pa.Array.from_pandas(g[id_column]),
+            "cell": pa.array(g["cell"].to_numpy(), type=pa.int32()),
+            "kept": pa.array(kept)})
+
+    return assigned.groupby("cell").map_groups(prune, batch_format="pandas")
