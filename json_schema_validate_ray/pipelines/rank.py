@@ -48,14 +48,6 @@ def global_rank(ds, key_column: str, id_column: str,
     sorted_ds = ds.sort([key_column, id_column],
                         descending=[descending, False]).materialize()
 
-    def block_partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"first_id": pa.array([], type=pa.int64()),
-                             "n_rows": pa.array([], type=pa.int64())})
-        return pa.table({
-            "first_id": pa.array([b[id_column][0].as_py()], type=pa.int64()),
-            "n_rows": pa.array([b.num_rows], type=pa.int64())})
-
     # one row per BLOCK on the driver; order blocks by their first row's
     # position in the global sort (blocks of a materialized sorted dataset
     # are contiguous ranges, so the first id identifies the range)
