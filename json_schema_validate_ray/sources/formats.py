@@ -1,0 +1,72 @@
+"""Alternate source formats (JSONL, CSV) with canonical-schema restoration.
+
+Parquet is the native format (typed, pruned at the read); real corpora also
+arrive as JSONL (documents, API exports — and the reference engine's own
+inputs are JSON values: json_schema_validate.c operates on jsonb) and CSV
+(flat tables).  Both are LOSSY relative to Arrow: JSON integers come back
+int64 regardless of source width, CSV has no nested types at all.  The
+pattern here is read -> ``cast_to_schema`` -> identical downstream pipeline:
+one declared canonical schema per table, one vectorized ``Table.cast`` per
+batch, and every operator behaves bit-identically to the parquet path
+(pinned by tests/test_sources_formats.py).
+
+CSV is restricted to flat tables (documents); the tokens table's
+``list<int32>`` column round-trips through JSONL only.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+TOKENS_ARROW_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+])
+
+DOCUMENTS_ARROW_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("source", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+
+def cast_to_schema(ds, schema: pa.Schema):
+    """Restore a dataset read from a lossy format to its canonical Arrow
+    schema: column order from the schema, one zero-copy-where-possible
+    ``Table.cast`` per batch.  Raises (in the task) if a column is missing
+    or a value doesn't fit the declared type — ingestion errors surface at
+    read time, not deep inside an operator."""
+    names = schema.names
+
+    def restore(b: pa.Table) -> pa.Table:
+        return b.select(names).cast(schema)
+
+    return ds.map_batches(restore, batch_format="pyarrow")
+
+
+def read_tokens_jsonl(path: str):
+    """Tokens table from JSON-lines (nested ``tokens`` list preserved)."""
+    import ray.data as rd
+    return cast_to_schema(rd.read_json(path), TOKENS_ARROW_SCHEMA)
+
+
+def write_tokens_jsonl(ds, path: str) -> str:
+    """One .json (JSON-lines) file per block — same resumable layout rule
+    as the parquet writers."""
+    ds.write_json(path)
+    return path
+
+
+def read_documents_csv(path: str):
+    """Documents table from CSV (flat columns only)."""
+    import ray.data as rd
+    return cast_to_schema(rd.read_csv(path), DOCUMENTS_ARROW_SCHEMA)
+
+
+def write_documents_csv(ds, path: str) -> str:
+    ds.write_csv(path)
+    return path

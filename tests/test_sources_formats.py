@@ -1,0 +1,69 @@
+"""JSONL / CSV source parity: the same pipeline over a lossy-format read
+must match the parquet path bit-for-bit after cast_to_schema."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _sorted_rows(ds, key):
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r[key])
+    return rows
+
+
+def test_tokens_jsonl_roundtrip_validates_identically(ray_session, tmp_path):
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.validate import validate_dataset
+    from json_schema_validate_ray.pipelines.schemas import TOKENS_SCHEMA
+    from json_schema_validate_ray.sources.formats import (
+        TOKENS_ARROW_SCHEMA, read_tokens_jsonl, write_tokens_jsonl)
+    from json_schema_validate_ray.sources.tokens import write_tokens_parquet
+
+    pq_dir = str(tmp_path / "pq")
+    write_tokens_parquet(pq_dir, 2000, n_partitions=4)
+    parquet_ds = rd.read_parquet(pq_dir)
+
+    jl_dir = str(tmp_path / "jl")
+    write_tokens_jsonl(parquet_ds, jl_dir)
+    jsonl_ds = read_tokens_jsonl(jl_dir)
+
+    # canonical schema restored exactly (read_json widens ints to int64)
+    assert jsonl_ds.schema().base_schema == TOKENS_ARROW_SCHEMA
+
+    want = _sorted_rows(
+        validate_dataset(parquet_ds, TOKENS_SCHEMA)
+        .select_columns(["doc_id", "valid", "n_violations"]), "doc_id")
+    got = _sorted_rows(
+        validate_dataset(jsonl_ds, TOKENS_SCHEMA)
+        .select_columns(["doc_id", "valid", "n_violations"]), "doc_id")
+    assert got == want
+    assert any(not r["valid"] for r in got)  # planted violations survive
+
+
+def test_documents_csv_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from json_schema_validate_ray.sources.formats import (
+        DOCUMENTS_ARROW_SCHEMA, read_documents_csv, write_documents_csv)
+
+    src = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    csv_dir = str(tmp_path / "csv")
+    write_documents_csv(src, csv_dir)
+    back = read_documents_csv(csv_dir)
+    assert back.schema().base_schema == DOCUMENTS_ARROW_SCHEMA
+    want = _sorted_rows(src, "doc_id")
+    got = _sorted_rows(back, "doc_id")
+    assert got == want
+
+
+def test_cast_to_schema_rejects_missing_column(ray_session):
+    import ray.data as rd
+
+    from json_schema_validate_ray.sources.formats import (
+        DOCUMENTS_ARROW_SCHEMA, cast_to_schema)
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64())}))
+    with pytest.raises(Exception):
+        cast_to_schema(ds, DOCUMENTS_ARROW_SCHEMA).take_all()
