@@ -149,7 +149,8 @@ def run_bench() -> dict:
              "token_counts_documents", "vocab_top_tokens",
              "repetition_stats_documents", "near_dup_dedup_summary",
              "tfidf_top_terms", "pack_sequences_documents",
-             "running_totals_events"]
+             "running_totals_events", "ranked_docs_by_length",
+             "semdedup_embeddings"]
     reg = q.queries()
     for name in suite:
         def run(name=name):

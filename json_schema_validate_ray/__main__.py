@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     c.add_argument("--threshold", type=float, default=0.5)
     c.add_argument("--bins-per-file", type=int, default=64)
 
+    sp = sub.add_parser("split", help="content-addressed train/val/test "
+                        "split; writes split-partitioned parquet")
+    sp.add_argument("input_dir", help="documents parquet")
+    sp.add_argument("out_dir")
+
     qp = sub.add_parser("query", help="run a registry pipeline by name")
     qp.add_argument("name", nargs="?", default=None)
     qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -155,6 +160,34 @@ def main(argv=None) -> int:
                 mix_rates=_MIX_RATES, threshold=args.threshold,
                 capacity=args.capacity).to_pylist()[0]
             print(json.dumps({"out": args.out_dir, **summ}))
+        elif args.cmd == "split":
+            import hashlib
+            import os.path
+
+            import numpy as _np
+            import pyarrow as _pa
+            import ray.data as rd
+            in_path = args.input_dir
+            if (not in_path.endswith(".parquet")
+                    and os.path.isfile(os.path.join(in_path, "documents.parquet"))):
+                in_path = os.path.join(in_path, "documents.parquet")
+
+            def tag(b: _pa.Table) -> _pa.Table:
+                band = _np.array(
+                    [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                     for i in b["doc_id"].to_pylist()], dtype=_np.int64)
+                split = _np.where(band < 90, "train",
+                                  _np.where(band < 95, "val", "test"))
+                return b.append_column("split",
+                                       _pa.array(split, type=_pa.string()))
+
+            tagged = rd.read_parquet(in_path).map_batches(
+                tag, batch_format="pyarrow")
+            tagged.write_parquet(args.out_dir, partition_cols=["split"])
+            counts = {r["split"]: r["count()"] for r in
+                      rd.read_parquet(args.out_dir).groupby("split")
+                        .count().take_all()}
+            print(json.dumps({"out": args.out_dir, "counts": counts}))
         elif args.cmd == "suite":
             import ray.data as rd
 
