@@ -763,8 +763,17 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         pos = pc.index_in(edges_tbl["src"], value_set=labels_tbl["node"]
                           .combine_chunks())
         cand = labels_tbl["label"].take(pos)
-        msgs = pa.table({"node": edges_tbl["dst"], "cand": cand})
-        db = edges_tbl["dst_bucket"].to_numpy()
+        # combiner: ONE hash-aggregate min per task compresses multi-edge
+        # fan-in (dense blobs) from O(E) to O(V) messages before the
+        # exchange — the thing that matters on a network-bound multi-node
+        # object store; dst_bucket is constant per node so it rides the
+        # same aggregation (min), keeping the split a filter pass
+        agg = pa.TableGroupBy(
+            pa.table({"node": edges_tbl["dst"], "cand": cand,
+                      "dst_bucket": edges_tbl["dst_bucket"]}),
+            "node").aggregate([("cand", "min"), ("dst_bucket", "min")])
+        msgs = pa.table({"node": agg["node"], "cand": agg["cand_min"]})
+        db = agg["dst_bucket_min"].to_numpy(zero_copy_only=False)
         return [msgs.filter(pa.array(db == b)) if (db == b).any()
                 else empty_msgs for b in range(nb)]
 
