@@ -2612,15 +2612,22 @@ def q_ranked_docs_by_length(sf_dir: str):
     from .rank import global_rank
     ds = _rd().read_parquet(_t(sf_dir, "documents"),
                             columns=["doc_id", "n_chars"])
-    return global_rank(ds, "n_chars", "doc_id", descending=True, ntile=4)
+    return global_rank(ds, "n_chars", "doc_id", descending=True, ntile=4,
+                       percent_rank=True)
 
 
 SQL_RANKED_DOCS_BY_LENGTH = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents)
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
-FROM documents
-WINDOW w AS (ORDER BY n_chars DESC, doc_id)
+       CAST(rn AS BIGINT) AS rnk,
+       CAST(NTILE(4) OVER (ORDER BY rn) AS BIGINT) AS quartile,
+       CAST((rn - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT)
+         AS pct_rank_1e6
+FROM r
 """
 
 

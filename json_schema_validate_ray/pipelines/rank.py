@@ -38,7 +38,9 @@ def _ntile_from_rank(rank: np.ndarray, n_total: int, tiles: int) -> np.ndarray:
 
 def global_rank(ds, key_column: str, id_column: str,
                 descending: bool = True, ntile: int = None,
-                rank_name: str = "rnk", ntile_name: str = "quartile"):
+                rank_name: str = "rnk", ntile_name: str = "quartile",
+                percent_rank: bool = False,
+                percent_rank_name: str = "pct_rank_1e6"):
     """(id, key, rank[, ntile]) with rank = ROW_NUMBER() OVER
     (ORDER BY key [DESC], id).  ``ds`` must already be projected to exactly
     [id_column, key_column] — callers drop payload columns BEFORE the sort
@@ -79,6 +81,8 @@ def global_rank(ds, key_column: str, id_column: str,
                 rank_name: pa.array([], type=pa.int64())}
         if ntile:
             cols[ntile_name] = pa.array([], type=pa.int64())
+        if percent_rank:
+            cols[percent_rank_name] = pa.array([], type=pa.int64())
         if b.num_rows == 0:
             return pa.table(cols)
         off = ray.get(offsets_ref)[b[id_column][0].as_py()]
@@ -88,6 +92,12 @@ def global_rank(ds, key_column: str, id_column: str,
         if ntile:
             cols[ntile_name] = pa.array(
                 _ntile_from_rank(rank, n_total, ntile), type=pa.int64())
+        if percent_rank:
+            # SQL PERCENT_RANK = (rank-1)/(n-1), integer-scaled x1e6 with
+            # pure integer arithmetic so both sides are bit-identical
+            denom = max(n_total - 1, 1)
+            cols[percent_rank_name] = pa.array(
+                (rank - 1) * 1_000_000 // denom, type=pa.int64())
         return pa.table(cols)
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow")
