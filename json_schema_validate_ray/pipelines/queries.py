@@ -2667,6 +2667,64 @@ FROM b
 """
 
 
+def q_curriculum_pack_documents(sf_dir: str):
+    """Curriculum packing: three engine operators COMPOSED — global rank
+    (short documents first: ORDER BY n_chars, doc_id), a native hash join
+    attaching per-doc token counts, and the distributed prefix-sum packer
+    binning in RANK order instead of id order.  The unique rank doubles as
+    the pack key, so the curriculum (easy -> hard ordering for training)
+    is itself reproducible and resumable.  Every stage keeps text out of
+    the shuffles: the sort moves (doc_id, n_chars), the join moves
+    (doc_id, rnk) x (doc_id, n_tokens), the pack moves (rnk, n_tokens)."""
+    from ..stages.text import token_counts_arrow
+    from .packing import pack_sequences
+    from .rank import global_rank
+    rd = _rd()
+    counts = rd.read_parquet(_t(sf_dir, "documents"),
+                             columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": token_counts_arrow(b["text"]).cast(pa.int64())}),
+        batch_format="pyarrow")
+    ranked = global_rank(
+        rd.read_parquet(_t(sf_dir, "documents"),
+                        columns=["doc_id", "n_chars"]),
+        "n_chars", "doc_id", descending=False)
+    joined = ranked.join(counts, join_type="inner", num_partitions=16,
+                         on=("doc_id",))
+    packed = pack_sequences(joined, id_column="rnk",
+                            count_column="n_tokens", capacity=2048)
+    back = packed.join(
+        ranked.map_batches(lambda b: b.select(["doc_id", "rnk"]),
+                           batch_format="pyarrow"),
+        join_type="inner", num_partitions=16, on=("rnk",))
+    return back.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "rnk": pc.cast(b["rnk"], pa.int64()),
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            "bin_id": pc.cast(b["bin_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_CURRICULUM_PACK_DOCUMENTS = r"""
+WITH n AS (
+  SELECT doc_id, n_chars, CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+       AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+  FROM n)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rnk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         // 2048 AS bin_id
+FROM r
+"""
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """Semantic dedup over the embeddings table (SemDeDup,
     pipelines/similarity.semdedup): k-means cells + within-cell cosine
@@ -2794,6 +2852,8 @@ REGISTRY: dict[str, tuple] = {
                               SQL_RANKED_DOCS_BY_LENGTH),
     "split_assign_documents": (q_split_assign_documents,
                                SQL_SPLIT_ASSIGN_DOCUMENTS),
+    "curriculum_pack_documents": (q_curriculum_pack_documents,
+                                  SQL_CURRICULUM_PACK_DOCUMENTS),
     # probabilistic / approximate pipelines (no SQL oracle: LSH banding,
     # SRP bucketing and IVF probing are recall-bounded, not SQL-expressible).
     # Registered LAST on purpose: the round-2 driver oracled only the first
