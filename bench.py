@@ -4,7 +4,16 @@ scale.  Prints ONE JSON line:
 
     {"metric": "...", "value": <headline seconds>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N,
-     "tokens_rows": R, "tokens_rows_per_sec": ...}
+     "tokens_rows": R, "tokens_rows_per_sec": ...,
+     "reps": K, "headline_per_rep": [...], "host_burn_per_rep": [...]}
+
+The headline and every per-query number are the BEST of ``JSV_BENCH_REPS``
+(default 3) full repetitions, and each rep is preceded by a pure-CPU
+host-burn reading (work units/sec at 8 concurrent single-core processes —
+no Ray, no engine code).  This VM is shared and identical code swings
+1.6 s -> 4.1 s between windows (see BASELINE.md round-3 notes); best-of-N
+plus the burn trace makes a loaded window visible IN the artifact instead
+of masquerading as a code regression.
 
 ``--scaling`` runs the flagship composite (fused validate+stats+NDV +
 exact-uniqueness shuffle, plus the CPU-bound exact row-parity validation
@@ -78,6 +87,13 @@ def run_bench() -> dict:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # run the whole timed section `reps` times; report the best per query
+    # (shared-VM noise mitigation — see module docstring).  `timings` is
+    # re-pointed per rep, so the timed() closures need no changes.
+    reps = max(1, int(os.environ.get("JSV_BENCH_REPS", "3")))
+    rep_timings: list[dict[str, float]] = []
+    host_burn_per_rep: list[float] = []
+
     # headline: flagship tokens validation (the engine metric —
     # sequences validated/sec)
     def tokens_validate():
@@ -93,14 +109,14 @@ def run_bench() -> dict:
             batch_format="pyarrow").take_all()
         assert sum(r["n"] for r in agg) == tokens_rows
 
-    timed("tokens_validate", tokens_validate)
+    def tokens_column_stats():
+        column_stats(
+            rd.read_parquet(tokens_dir), ["doc_id", "tokens", "n_tok", "source"],
+            ndv_columns=["doc_id", "source"])
 
-    timed("tokens_column_stats", lambda: column_stats(
-        rd.read_parquet(tokens_dir), ["doc_id", "tokens", "n_tok", "source"],
-        ndv_columns=["doc_id", "source"]))
-
-    timed("tokens_duplicate_keys", lambda: duplicate_keys(
-        rd.read_parquet(tokens_dir, columns=["doc_id"]), "doc_id").count())
+    def tokens_duplicate_keys():
+        duplicate_keys(
+            rd.read_parquet(tokens_dir, columns=["doc_id"]), "doc_id").count()
 
     # nested-object (struct-column) validation throughput: the vectorized
     # struct recursion path (stages/vectorized._struct_violations); pre-fix
@@ -141,8 +157,6 @@ def run_bench() -> dict:
             batch_format="pyarrow").take_all()
         assert sum(r["n"] for r in agg) == n_rows
 
-    timed("struct_validate", struct_validate)
-
     # representative operator suite over the testdata tables
     suite = ["pricing_summary", "validate_props_events", "exact_dedup_documents",
              "minhash_lsh_candidates", "ann_topk_cosine", "sessions_per_user",
@@ -152,23 +166,48 @@ def run_bench() -> dict:
              "running_totals_events", "ranked_docs_by_length",
              "semdedup_embeddings"]
     reg = q.queries()
-    for name in suite:
-        def run(name=name):
+
+    def suite_runner(name):
+        def run():
             r = reg[name](sf_dir)
             if hasattr(r, "take_all"):
                 r.take_all()
-        timed(name, run)
+        return run
 
-    headline = timings["tokens_validate"]
+    def one_rep():
+        timed("tokens_validate", tokens_validate)
+        timed("tokens_column_stats", tokens_column_stats)
+        timed("tokens_duplicate_keys", tokens_duplicate_keys)
+        timed("struct_validate", struct_validate)
+        for name in suite:
+            timed(name, suite_runner(name))
+
+    for _ in range(reps):
+        # host-ceiling reading bracketing this rep: pure-CPU work units/sec
+        # at 8 concurrent procs (no Ray, no engine code).  A loaded window
+        # shows up here, distinguishable from an engine regression.
+        host_burn_per_rep.append(round(_burn_throughput(8), 3))
+        timings = {}
+        one_rep()
+        rep_timings.append(timings)
+
+    best = {name: min(r[name] for r in rep_timings) for name in rep_timings[0]}
+    headline = best["tokens_validate"]
     result = {
-        "metric": "tokens-table validation wall time (headline) + operator suite",
+        "metric": "tokens-table validation wall time (headline, best of "
+                  f"{reps}) + operator suite",
         "value": headline,
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
         "sf": sf,
         "num_cpus": num_cpus,
         "tokens_rows": tokens_rows,
         "tokens_rows_per_sec": round(tokens_rows / headline, 1) if headline else None,
+        "reps": reps,
+        "headline_per_rep": [r["tokens_validate"] for r in rep_timings],
+        "host_burn_per_rep": host_burn_per_rep,
+        "host_burn_note": "pure-CPU work-units/sec at 8 procs; ~3.7-3.9 in a "
+                          "quiet window — lower readings mean a loaded host",
     }
     ray.shutdown()
     return result
