@@ -67,11 +67,17 @@ def main(argv=None) -> int:
     c.add_argument("--capacity", type=int, default=2048)
     c.add_argument("--threshold", type=float, default=0.5)
     c.add_argument("--bins-per-file", type=int, default=64)
+    c.add_argument("--band", choices=["fast", "md5"], default="fast",
+                   help="mixture band: 'fast' = vectorized splitmix64 "
+                   "(production default), 'md5' = oracle-parity band")
 
     sp = sub.add_parser("split", help="content-addressed train/val/test "
                         "split; writes split-partitioned parquet")
     sp.add_argument("input_dir", help="documents parquet")
     sp.add_argument("out_dir")
+    sp.add_argument("--band", choices=["fast", "md5"], default="fast",
+                    help="split band: 'fast' = vectorized splitmix64 "
+                    "(production default), 'md5' = oracle-parity band")
 
     qp = sub.add_parser("query", help="run a registry pipeline by name")
     qp.add_argument("name", nargs="?", default=None)
@@ -135,7 +141,7 @@ def main(argv=None) -> int:
             import pyarrow.compute as _pc
             import ray.data as rd
 
-            from .pipelines.curate import curate_corpus, curate_summary
+            from .pipelines.curate import curate_run
             from .pipelines.queries import _MIX_RATES
             in_path = args.input_dir
             if (not in_path.endswith(".parquet")
@@ -143,9 +149,12 @@ def main(argv=None) -> int:
                 in_path = os.path.join(in_path, "documents.parquet")
             ds = rd.read_parquet(in_path,
                                  columns=["doc_id", "lang", "text"])
-            packed = curate_corpus(ds, mix_rates=_MIX_RATES,
-                                   threshold=args.threshold,
-                                   capacity=args.capacity)
+            # single execution: curate_run materializes the packed dataset
+            # once and derives the summary from it (no pipeline re-run)
+            packed, summary = curate_run(ds, mix_rates=_MIX_RATES,
+                                         threshold=args.threshold,
+                                         capacity=args.capacity,
+                                         band=args.band)
             bpf = args.bins_per_file
             packed.map_batches(
                 lambda b: b.append_column(
@@ -154,28 +163,24 @@ def main(argv=None) -> int:
                         _pa.int64())),
                 batch_format="pyarrow").write_parquet(
                 args.out_dir, partition_cols=["bin_group"])
-            summ = curate_summary(
-                rd.read_parquet(in_path,
-                                columns=["doc_id", "lang", "text"]),
-                mix_rates=_MIX_RATES, threshold=args.threshold,
-                capacity=args.capacity).to_pylist()[0]
-            print(json.dumps({"out": args.out_dir, **summ}))
+            summ = summary.to_pylist()[0]
+            print(json.dumps({"out": args.out_dir, "band": args.band, **summ}))
         elif args.cmd == "split":
-            import hashlib
             import os.path
 
             import numpy as _np
             import pyarrow as _pa
             import ray.data as rd
+
+            from .stages.banding import band_values
             in_path = args.input_dir
             if (not in_path.endswith(".parquet")
                     and os.path.isfile(os.path.join(in_path, "documents.parquet"))):
                 in_path = os.path.join(in_path, "documents.parquet")
+            band_mode = args.band
 
             def tag(b: _pa.Table) -> _pa.Table:
-                band = _np.array(
-                    [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                     for i in b["doc_id"].to_pylist()], dtype=_np.int64)
+                band = band_values(b["doc_id"], mode=band_mode)
                 split = _np.where(band < 90, "train",
                                   _np.where(band < 95, "val", "test"))
                 return b.append_column("split",
@@ -187,7 +192,8 @@ def main(argv=None) -> int:
             counts = {r["split"]: r["count()"] for r in
                       rd.read_parquet(args.out_dir).groupby("split")
                         .count().take_all()}
-            print(json.dumps({"out": args.out_dir, "counts": counts}))
+            print(json.dumps({"out": args.out_dir, "band": band_mode,
+                              "counts": counts}))
         elif args.cmd == "suite":
             import ray.data as rd
 

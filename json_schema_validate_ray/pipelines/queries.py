@@ -674,14 +674,12 @@ def q_stratified_sample_documents(sf_dir: str):
     """Deterministic hash sampling, stratified by construction: keep a doc
     iff md5(doc_id) mod 100 < 20.  Content-addressed sampling is reproducible
     across runs/workers with no RNG state and composes with resume; md5
-    makes the predicate replicable bit-for-bit in the SQL oracle."""
-    import hashlib
+    makes the predicate replicable bit-for-bit in the SQL oracle (the
+    vectorized production band is ``stages.banding band="fast"``)."""
+    from ..stages.banding import band_mask
 
     def keep(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        mask = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 20
-                for i in ids]
-        return b.filter(pa.array(mask))
+        return b.filter(band_mask(b["doc_id"], 20, mode="md5"))
 
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -699,14 +697,11 @@ def q_decontaminate_documents(sf_dir: str):
     content-addressed predicate as the stratified sampler, so the split is
     reproducible and SQL-replicable — and every training doc sharing a
     word-3-gram with it is flagged with its distinct-overlap count."""
-    import hashlib
-
+    from ..stages.banding import band_values
     from .decontaminate import decontaminate
 
     def _band(b: pa.Table) -> np.ndarray:
-        ids = b["doc_id"].to_pylist()
-        return np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                         for i in ids])
+        return band_values(b["doc_id"], mode="md5")
 
     def bench_f(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(_band(b) < 5))
@@ -2087,9 +2082,9 @@ _MIX_RATES = {"en": 30, "zh": 50}     # unlisted languages keep 100%
 
 
 def _md5_band_mask(ids, rates_for_rows):
-    import hashlib
-    return [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < r
-            for i, r in zip(ids, rates_for_rows)]
+    from ..stages.banding import band_mask
+    return band_mask(ids, np.asarray(rates_for_rows, dtype=np.int64),
+                     mode="md5")
 
 
 def q_weighted_mix_documents(sf_dir: str):
@@ -2097,11 +2092,11 @@ def q_weighted_mix_documents(sf_dir: str):
     (the data-mixture op that rebalances a training set).  Same
     deterministic md5-band predicate as the stratified sampler, with the
     threshold looked up per row from the mixture table — one streaming
-    filter pass, no shuffle, no RNG state."""
+    filter pass, no shuffle, no RNG state.  (Production runs select the
+    vectorized ``band="fast"`` via pipelines.curate / stages.banding.)"""
     def keep(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
         rates = [_MIX_RATES.get(l, 100) for l in b["lang"].to_pylist()]
-        return b.filter(pa.array(_md5_band_mask(ids, rates)))
+        return b.filter(_md5_band_mask(b["doc_id"], rates))
 
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -2113,10 +2108,9 @@ def q_mixture_summary_documents(sf_dir: str):
     partials (lang, n_total, n_kept); the merge is a tiny per-lang sum."""
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
-        ids = b["doc_id"].to_pylist()
         langs = b["lang"].to_pylist()
         rates = [_MIX_RATES.get(l, 100) for l in langs]
-        kept = _md5_band_mask(ids, rates)
+        kept = _md5_band_mask(b["doc_id"], rates).to_numpy(zero_copy_only=False)
         g = pd.DataFrame({"lang": langs, "kept": kept}).groupby(
             "lang", sort=False)["kept"].agg(["size", "sum"]).reset_index()
         return pa.table({
@@ -2637,14 +2631,13 @@ def q_split_assign_documents(sf_dir: str):
     machines and resumes with no RNG state, and any worker can compute it
     independently (no shuffle at all; the split is a pure map).  Same band
     convention as the stratified sampler and the decontamination benchmark
-    slice, so splits compose with both."""
-    import hashlib
+    slice, so splits compose with both.  (Production splits take
+    ``band="fast"`` — the vectorized splitmix64 band in stages/banding.py —
+    via the split CLI's --band flag.)"""
+    from ..stages.banding import band_values
 
     def assign(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        band = np.array(
-            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-             for i in ids], dtype=np.int64)
+        band = band_values(b["doc_id"], mode="md5")
         split = np.where(band < 90, "train", np.where(band < 95, "val", "test"))
         return pa.table({"doc_id": b["doc_id"],
                          "band": pa.array(band, type=pa.int64()),

@@ -5,6 +5,7 @@ import pyarrow as pa
 
 from json_schema_validate_ray.pipelines.curate import (
     curate_corpus,
+    curate_run,
     curate_summary,
     mixture_filter,
 )
@@ -63,3 +64,36 @@ def test_curate_summary_consistency(ray_session):
                                  "unique text one with no resemblance to anything else at all",
                                  "unique second text nothing shared with other documents here",
                                  "entirely separate third standalone document text body"])
+
+
+def test_curate_run_single_execution_matches_summary(ray_session):
+    # curate_run returns (packed, summary) from ONE pipeline execution; the
+    # summary must equal what curate_summary computes, and the packed rows
+    # must be the ones the summary accounts for.
+    packed, summary = curate_run(_corpus(), mix_rates={"en": 0},
+                                 threshold=0.5, capacity=16)
+    row = summary.to_pylist()[0]
+    want = curate_summary(_corpus(), mix_rates={"en": 0}, threshold=0.5,
+                          capacity=16).to_pylist()[0]
+    assert row == want
+    rows = packed.take_all()
+    assert len(rows) == row["n_after_dedup"]
+    assert sum(r["n_tokens"] for r in rows) == row["total_tokens"]
+
+
+def test_fast_band_mixture(ray_session):
+    # the vectorized production band obeys the same operator contract:
+    # rate 0 drops the language, rate 100 keeps it, output deterministic
+    out1 = mixture_filter(_corpus(), rates={"en": 0},
+                          band="fast").take_all()
+    out2 = mixture_filter(_corpus(), rates={"en": 0},
+                          band="fast").take_all()
+    assert sorted(r["doc_id"] for r in out1) == [2, 3, 4, 5]
+    assert sorted(r["doc_id"] for r in out1) == sorted(
+        r["doc_id"] for r in out2)
+    assert len(mixture_filter(_corpus(), rates={},
+                              band="fast").take_all()) == 6
+    # full curation composes with the fast band
+    row = curate_summary(_corpus(), mix_rates={"en": 0}, threshold=0.5,
+                         capacity=16, band="fast").to_pylist()[0]
+    assert row["n_input"] == 6 and row["n_after_mix"] == 4
