@@ -58,13 +58,13 @@ def pack_sequences(ds, id_column: str = "doc_id", text_column: str = "text",
     sorted_ds = counted.sort(id_column).materialize()
 
     def block_partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"first_id": pa.array([], type=pa.int64()),
-                             "block_sum": pa.array([], type=pa.int64())})
+        # first_id carries the INPUT id type (string ids work: the tokens
+        # table's doc_id is string) — no hardcoded int64 cast
         return pa.table({
-            "first_id": pa.array([b[id_column][0].as_py()], type=pa.int64()),
-            "block_sum": pa.array([int(pc.sum(b["n_tokens"]).as_py() or 0)],
-                                  type=pa.int64()),
+            "first_id": b[id_column].slice(0, min(1, b.num_rows)),
+            "block_sum": pa.array(
+                [int(pc.sum(b["n_tokens"]).as_py() or 0)]
+                if b.num_rows else [], type=pa.int64()),
         })
 
     parts = sorted(
@@ -85,7 +85,8 @@ def pack_sequences(ds, id_column: str = "doc_id", text_column: str = "text",
 
     def assign(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({id_column: pa.array([], type=pa.int64()),
+            return pa.table({id_column: pa.array(
+                                 [], type=b.schema.field(id_column).type),
                              "n_tokens": pa.array([], type=pa.int64()),
                              "bin_id": pa.array([], type=pa.int64())})
         off = ray.get(offsets_ref)[b[id_column][0].as_py()]

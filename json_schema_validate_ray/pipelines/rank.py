@@ -55,15 +55,17 @@ def global_rank(ds, key_column: str, id_column: str,
     # are contiguous ranges, so the first id identifies the range)
     firsts = sorted_ds.map_batches(
         lambda b: pa.table({
-            "first_id": pa.array([b[id_column][0].as_py()] if b.num_rows
-                                 else [], type=pa.int64()),
-            "first_key": pa.array([b[key_column][0].as_py()] if b.num_rows
-                                  else [], type=pa.float64()),
+            # types carried from the input columns, so string/int/float ids
+            # and keys all round-trip (no silent numeric cast)
+            "first_id": b[id_column].slice(0, min(1, b.num_rows)),
+            "first_key": b[key_column].slice(0, min(1, b.num_rows)),
             "n_rows": pa.array([b.num_rows] if b.num_rows else [],
                                type=pa.int64())}),
         batch_format="pyarrow").take_all()
-    firsts.sort(key=lambda r: (-r["first_key"] if descending
-                               else r["first_key"], r["first_id"]))
+    # ORDER BY key [DESC], id ASC via two stable sorts (works for any
+    # comparable key type — no arithmetic negation of the key)
+    firsts.sort(key=lambda r: r["first_id"])
+    firsts.sort(key=lambda r: r["first_key"], reverse=descending)
     if len({r["first_id"] for r in firsts}) != len(firsts):
         raise ValueError("global_rank: duplicate id across block boundaries "
                          "— the tie-breaker id must be unique")
@@ -76,7 +78,7 @@ def global_rank(ds, key_column: str, id_column: str,
     offsets_ref = ray.put(offsets)
 
     def assign(b: pa.Table) -> pa.Table:
-        cols = {id_column: pa.array([], type=pa.int64()),
+        cols = {id_column: pa.array([], type=b.schema.field(id_column).type),
                 key_column: pa.array([], type=b.schema.field(key_column).type),
                 rank_name: pa.array([], type=pa.int64())}
         if ntile:

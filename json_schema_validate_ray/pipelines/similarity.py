@@ -270,9 +270,10 @@ def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
     return partial.groupby("query_id").map_groups(prune, batch_format="pandas")
 
 
-def semdedup(ds, threshold: float = 0.9, n_clusters: int = 16,
+def semdedup(ds, threshold: float = 0.9, n_clusters: int | None = None,
              id_column: str = "vec_id", vec_column: str = "embedding",
-             seed: int = 29, chunk: int = 1024):
+             seed: int = 29, chunk: int = 1024,
+             target_cluster_rows: int = 4096):
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     cluster embeddings with the IVF k-means coarse quantizer, then within
     each cluster drop every vector that has a >= ``threshold`` cosine
@@ -283,17 +284,26 @@ def semdedup(ds, threshold: float = 0.9, n_clusters: int = 16,
     Scale shape: centroids train on a bounded sample and broadcast via
     ``ray.put``; cell assignment is one vectorized matmul per batch; the only
     all-to-all moves (id, cell, vec) rows — grouped BY CELL, so per-group
-    memory is a cluster, not the corpus (the documented partitioning
-    assumption: raise ``n_clusters`` until clusters fit).  Within a cluster
-    the pairwise pass is tiled (``chunk`` rows at a time) so sim-matrix
-    memory is chunk x m, not m x m.  Probabilistic (k-means cells) — no SQL
-    oracle; pytest pins the per-cluster semantics against brute force."""
+    memory is a cluster, not the corpus.  ``n_clusters`` defaults to
+    SIZE-DERIVED: ceil(rows / target_cluster_rows) capped at 8192 (the
+    k-means sample grows with the cluster count, bounded at 64k vectors on
+    the driver), so a cluster stays a ~target_cluster_rows-row group up to
+    ~32M rows; beyond that pass ``n_clusters`` explicitly or run
+    hierarchically (semdedup per coarse shard).  Within a cluster the
+    pairwise pass is tiled (``chunk`` rows at a time) so sim-matrix memory
+    is chunk x m, not m x m.  Probabilistic (k-means cells) — no SQL
+    oracle; pytest pins the per-cluster semantics against brute force and
+    the size derivation."""
     import ray
 
     from ..stages.taskcache import cached_stage
 
-    centroids = train_ivf_centroids(ds, n_centroids=n_clusters,
-                                    vec_column=vec_column, seed=seed)
+    if n_clusters is None:
+        rows = ds.count()                     # parquet metadata, no scan
+        n_clusters = min(8192, max(1, -(-rows // target_cluster_rows)))
+    centroids = train_ivf_centroids(
+        ds, n_centroids=n_clusters, vec_column=vec_column, seed=seed,
+        sample_rows=min(65536, max(4096, 8 * n_clusters)))
     centroids_ref = ray.put(centroids)
 
     class _Assign:
@@ -312,9 +322,9 @@ def semdedup(ds, threshold: float = 0.9, n_clusters: int = 16,
     assigned = ds.repartition(_scan_partitions(ds)).map_batches(
         cached_stage(_Assign), batch_format="pyarrow")
 
-    def prune(g):
-        g = g.sort_values(id_column)
-        mat = _normalize(np.array(list(g[vec_column]), dtype=np.float32))
+    def prune(g: pa.Table) -> pa.Table:
+        g = g.sort_by(id_column)
+        mat = _normalize(matrix_from_list_array(g[vec_column]))  # zero-copy
         m = len(mat)
         kept = np.ones(m, dtype=bool)
         col = np.arange(m)
@@ -326,8 +336,8 @@ def semdedup(ds, threshold: float = 0.9, n_clusters: int = 16,
                    (col[None, :] < np.arange(lo, hi)[:, None])).any(axis=1)
             kept[lo:hi] = ~dup
         return pa.table({
-            id_column: pa.Array.from_pandas(g[id_column]),
-            "cell": pa.array(g["cell"].to_numpy(), type=pa.int32()),
+            id_column: g[id_column],
+            "cell": g["cell"],
             "kept": pa.array(kept)})
 
-    return assigned.groupby("cell").map_groups(prune, batch_format="pandas")
+    return assigned.groupby("cell").map_groups(prune, batch_format="pyarrow")

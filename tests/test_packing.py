@@ -81,3 +81,19 @@ def test_packing_summary_accounting(ray_session):
     assert row["total_tokens"] == 17
     assert row["n_bins"] == 4
     assert row["fill_rate_1e6"] == 17 * 1_000_000 // 20
+
+
+def test_pack_string_ids(ray_session):
+    # the tokens table's doc_id is a STRING — first_id and the empty-block
+    # schema must carry the input id type, not a hardcoded int64
+    import ray.data as rd
+    ids = [f"doc-{i:04d}" for i in range(30)]
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "n_tok": pa.array([3] * 30, type=pa.int32())})
+    out = pack_sequences(rd.from_arrow(tbl).repartition(4),
+                         count_column="n_tok", capacity=9).take_all()
+    assert sorted(r["doc_id"] for r in out) == ids
+    by_id = {r["doc_id"]: r["bin_id"] for r in out}
+    # ids sort lexicographically == numerically here; 3 docs of 3 tokens/bin
+    for i, d in enumerate(ids):
+        assert by_id[d] == i // 3, (d, by_id[d])

@@ -112,3 +112,73 @@ def test_global_rank_block_layout_invariant(ray_session, blocks):
     assert [r["rnk"] for r in by_rank] == list(range(1, n + 1))
     assert [r["quartile"] for r in by_rank] == [
         (r - 1) // 125 + 1 for r in range(1, n + 1)]
+
+
+def test_semdedup_size_derived_clusters(ray_session):
+    # n_clusters=None derives ceil(rows / target_cluster_rows): forcing a
+    # tiny target yields many small cells, every row still emitted exactly
+    # once, identical vectors still deduped when they land in one cell.
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.similarity import semdedup
+
+    tbl = _embedding_table(300, n_dups=30)
+    out = semdedup(rd.from_arrow(tbl), threshold=0.99,
+                   target_cluster_rows=25, chunk=8).take_all()
+    assert len(out) == 300
+    assert sorted(r["vec_id"] for r in out) == list(range(300))
+    cells = {r["cell"] for r in out}
+    # ceil(300/25) = 12 centroids requested; k-means may leave some cells
+    # empty but the assignment must spread well beyond one fat cell
+    assert len(cells) > 3
+    # per-cell sizes bounded: no cell hoards the corpus
+    from collections import Counter
+    sizes = Counter(r["cell"] for r in out)
+    assert max(sizes.values()) < 300
+
+
+def test_semdedup_exact_duplicates_dropped_with_derived_clusters(ray_session):
+    # identical vectors always share a cell (same argmax), so the smaller
+    # id survives regardless of the derived cluster count
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 8)).astype(np.float32)
+    base[30:] = base[:30]                      # 30 exact duplicate pairs
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    tbl = pa.table({"vec_id": pa.array(np.arange(60), type=pa.int64()),
+                    "embedding": pa.array(list(base.astype(float)),
+                                          type=pa.list_(pa.float32()))})
+    out = semdedup(rd.from_arrow(tbl), threshold=0.999,
+                   target_cluster_rows=10).take_all()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    for i in range(30):
+        assert kept[i], i                      # smaller id survives
+        assert not kept[i + 30], i             # exact dup dropped
+
+
+def test_global_rank_string_key_and_id(ray_session):
+    # the sort key and the tie-breaker id may both be strings: types carry
+    # through the block-first projection (no float64/int64 hardcast)
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.rank import global_rank
+
+    ids = [f"doc-{i:03d}" for i in range(40)]
+    keys = [f"k{i % 7}" for i in range(40)]            # ties -> id breaks
+    tbl = pa.table({"doc_id": pa.array(ids), "grp": pa.array(keys)})
+    out = global_rank(rd.from_arrow(tbl).repartition(5), "grp", "doc_id",
+                      descending=False).take_all()
+    by_rank = sorted(out, key=lambda r: r["rnk"])
+    want = sorted(range(40), key=lambda i: (keys[i], ids[i]))
+    assert [r["doc_id"] for r in by_rank] == [ids[i] for i in want]
+    assert [r["rnk"] for r in by_rank] == list(range(1, 41))
+    # descending string key works too (no arithmetic negation)
+    out_d = global_rank(rd.from_arrow(tbl).repartition(3), "grp", "doc_id",
+                        descending=True).take_all()
+    by_rank_d = sorted(out_d, key=lambda r: r["rnk"])
+    want_d = sorted(range(40), key=lambda i: (keys[i], ids[i]))
+    want_d.sort(key=lambda i: keys[i], reverse=True)
+    assert [r["doc_id"] for r in by_rank_d] == [ids[i] for i in want_d]
