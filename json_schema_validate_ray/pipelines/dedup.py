@@ -884,8 +884,12 @@ def near_dup_survivors(ds, text_column: str = "text",
     minus one survivor each) is the SMALL side — a fraction of the near-dup
     nodes, which are themselves a fraction of the corpus — so it broadcasts
     (``ray.put`` once, ``is_in`` per batch, zero shuffle of the corpus);
-    above ``broadcast_limit`` it falls back to a distributed anti-join on
-    the id column.  Returns a Dataset with the input's columns."""
+    above ``broadcast_limit`` it switches to a CHUNKED broadcast: the
+    removed ids are hash-bucketed into ceil(n/limit) bounded arrays by raw
+    Ray tasks (ids never touch the driver), and the corpus pass stays one
+    streaming ``map_batches`` filter testing each row against only its
+    hash bucket — in both regimes the corpus payload never enters a
+    shuffle.  Returns a Dataset with the input's columns."""
     import ray
 
     comps = near_dup_components(ds, text_column, id_column,
@@ -909,29 +913,43 @@ def near_dup_survivors(ds, text_column: str = "text",
                 pc.cast(b[id_column], pa.string()),
                 value_set=ray.get(removed_ref)))),
             batch_format="pyarrow")
-    # distributed anti-join: inner-join survivors? Ray's join has no anti
-    # type, so tag-and-filter: left join corpus ids against removed ids and
-    # keep unmatched.  The corpus side ships (id) only; payload is re-read
-    # by a second is_in pass against the surviving id set per bucket — at
-    # this scale the caller should prefer raising broadcast_limit or
-    # partitioning the removal by id range; documented trade-off.
-    removed_flag = removed.map_batches(
-        lambda b: b.append_column("__removed", pa.array(
-            np.ones(b.num_rows, dtype=np.int8))),
-        batch_format="pyarrow")
-    keyed = ds.map_batches(
-        lambda b: b.append_column("__join_id", pc.cast(b[id_column],
-                                                       pa.string())),
-        batch_format="pyarrow")
-    joined = keyed.join(
-        removed_flag.map_batches(
-            lambda b: pa.table({"__join_id": b[id_column],
-                                "__removed": b["__removed"]}),
-            batch_format="pyarrow"),
-        join_type="left_outer",
-        num_partitions=max(16, _default_concurrency()),
-        on=("__join_id",))
-    return joined.map_batches(
-        lambda b: b.filter(pc.is_null(b["__removed"])).drop_columns(
-            ["__join_id", "__removed"]),
-        batch_format="pyarrow")
+    # chunked-broadcast anti-semi-join: above the single-object broadcast
+    # limit, hash-bucket the removed ids into B bounded arrays (each its own
+    # object ref, <= broadcast_limit ids), and keep the corpus as ONE
+    # streaming map_batches filter — the payload never enters a shuffle
+    # (unlike a join fallback, which would ship text through the exchange).
+    # Each worker node pages the B small id objects into shared memory once;
+    # per batch the is_in runs per distinct bucket on that bucket's rows.
+    from ..state.sketches import _hash64
+
+    n_buckets = int(n_removed // max(1, broadcast_limit)) + 1
+    block_refs = removed.to_arrow_refs()
+
+    @ray.remote
+    def _bucket_ids(bk: int, *blocks):
+        # one bucket's ids gathered from every block — the return value
+        # lands in the object store as a driver-owned ref; the id data
+        # never materializes on the driver
+        parts = [pa.array([], type=pa.string())]
+        for t in blocks:
+            ids = pc.cast(t[id_column], pa.string()).combine_chunks()
+            hb = (_hash64(ids) % np.uint64(n_buckets)).astype(np.int64)
+            parts.append(ids.filter(pa.array(hb == bk)))
+        return pa.concat_arrays(parts)
+
+    bucket_refs = [_bucket_ids.remote(bk, *block_refs)
+                   for bk in range(n_buckets)]
+    ray.wait(bucket_refs, num_returns=len(bucket_refs))
+
+    def anti_filter(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_column], pa.string()).combine_chunks()
+        hb = (_hash64(ids) % np.uint64(n_buckets)).astype(np.int64)
+        removed_mask = np.zeros(len(ids), dtype=bool)
+        for bk in np.unique(hb):
+            rows = hb == bk
+            hit = pc.is_in(ids.filter(pa.array(rows)),
+                           value_set=ray.get(bucket_refs[int(bk)]))
+            removed_mask[rows] = hit.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~removed_mask))
+
+    return ds.map_batches(anti_filter, batch_format="pyarrow")

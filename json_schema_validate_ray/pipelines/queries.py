@@ -2407,7 +2407,11 @@ def q_vocab_topk_sketch(sf_dir: str):
     merged = SpaceSaving(capacity=4096)
     for r in rows:
         merged.merge(SpaceSaving.from_bytes(r["sketch"]))
-    assert merged.is_exact, "vocabulary exceeded sketch capacity"
+    if not merged.is_exact:    # explicit: must survive python -O
+        raise ValueError(
+            "vocab_topk_sketch: vocabulary exceeded sketch capacity "
+            f"(error floor {merged.floor}) — the oracle requires the exact "
+            "regime; raise capacity or use the approximate topk directly")
     top = merged.topk(20)
     return pa.table({
         "token": pa.array([t for t, _, _ in top], type=pa.string()),

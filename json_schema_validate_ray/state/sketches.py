@@ -473,28 +473,35 @@ class SpaceSaving:
 
     Mergeable (per-block partial -> driver/tree reduce): counts and errors
     sum for shared keys, then the merged table is truncated back to
-    ``capacity`` by count (ties broken by key for determinism)."""
+    ``capacity`` by count (ties broken by key for determinism).  Merge
+    truncation is LOSSY for the dropped tail: the max dropped count becomes
+    the sketch-wide error ``floor`` — an absent key's true count may be up
+    to ``floor``, a key (re-)inserted later starts from ``floor`` with that
+    much error, and ``is_exact`` is False once any mass was dropped, so the
+    documented ``true <= count <= true + error`` bound survives merging."""
 
     def __init__(self, capacity: int = 4096):
         self.capacity = int(capacity)
         self.counts: dict = {}
         self.errors: dict = {}
+        self.floor = 0      # max count ever dropped in a merge truncation
 
     def add_many(self, keys, weights) -> None:
         """Bulk update: pre-aggregated (key, weight) pairs — callers pass
         np.unique/value_counts output so the per-key Python cost is bounded
         by the batch's DISTINCT keys, not its rows."""
         counts, errors, cap = self.counts, self.errors, self.capacity
+        floor = self.floor
         for k, w in zip(keys, weights):
             w = int(w)
             if k in counts:
                 counts[k] += w
             elif len(counts) < cap:
-                counts[k] = w
-                errors[k] = 0
+                counts[k] = floor + w
+                errors[k] = floor
             else:
                 mkey = min(counts, key=lambda x: (counts[x], x))
-                m = counts.pop(mkey)
+                m = max(counts.pop(mkey), floor)
                 errors.pop(mkey)
                 counts[k] = m + w
                 errors[k] = m
@@ -503,10 +510,13 @@ class SpaceSaving:
         for k, c in other.counts.items():
             self.counts[k] = self.counts.get(k, 0) + c
             self.errors[k] = self.errors.get(k, 0) + other.errors[k]
+        self.floor = max(self.floor, other.floor)
         if len(self.counts) > self.capacity:
-            keep = sorted(self.counts,
-                          key=lambda x: (-self.counts[x], x))[: self.capacity]
-            keep_set = set(keep)
+            order = sorted(self.counts,
+                           key=lambda x: (-self.counts[x], x))
+            keep_set = set(order[: self.capacity])
+            self.floor = max(self.floor,
+                             max(self.counts[k] for k in order[self.capacity:]))
             self.counts = {k: self.counts[k] for k in keep_set}
             self.errors = {k: self.errors[k] for k in keep_set}
 
@@ -517,15 +527,15 @@ class SpaceSaving:
 
     @property
     def is_exact(self) -> bool:
-        return all(e == 0 for e in self.errors.values())
+        return self.floor == 0 and all(e == 0 for e in self.errors.values())
 
     def to_bytes(self) -> bytes:
         return pickle.dumps(
-            (self.capacity, self.counts, self.errors), protocol=4)
+            (self.capacity, self.counts, self.errors, self.floor), protocol=4)
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "SpaceSaving":
-        cap, counts, errors = pickle.loads(b)
+        cap, counts, errors, floor = pickle.loads(b)
         o = cls(cap)
-        o.counts, o.errors = counts, errors
+        o.counts, o.errors, o.floor = counts, errors, floor
         return o

@@ -62,9 +62,42 @@ def test_merge_truncates_to_capacity():
     assert [k for k, _, _ in a.topk(4)] == ["a", "e", "b", "f"]
 
 
+def test_merge_truncation_is_not_exact():
+    # each per-block sketch is under capacity (errors all 0), but the union
+    # exceeds it — the old code dropped the tail silently and kept is_exact
+    # True; now the max dropped count becomes the sketch-wide error floor
+    a, b = SpaceSaving(capacity=4), SpaceSaving(capacity=4)
+    _add_counter(a, Counter({"a": 10, "b": 8, "c": 2, "d": 1}))
+    _add_counter(b, Counter({"e": 9, "f": 7, "g": 3, "h": 1}))
+    assert a.is_exact and b.is_exact
+    a.merge(b)
+    assert not a.is_exact
+    assert a.floor == 3                     # max dropped count (g)
+    # a dropped key re-inserted afterwards restarts from the floor, so the
+    # true <= count <= true + error bound still holds for it
+    true = Counter({"a": 10, "b": 8, "c": 2, "d": 1,
+                    "e": 9, "f": 7, "g": 3, "h": 1})
+    _add_counter(a, Counter({"g": 2}))
+    true["g"] += 2
+    for k, c, e in a.topk(4):
+        assert true[k] <= c <= true[k] + e, (k, true[k], c, e)
+
+
+def test_floor_survives_roundtrip_and_remerge():
+    a, b = SpaceSaving(capacity=2), SpaceSaving(capacity=2)
+    _add_counter(a, Counter({"a": 5, "b": 4}))
+    _add_counter(b, Counter({"c": 3, "d": 2}))
+    a.merge(b)                              # drops c(3), d(2) -> floor 3
+    back = SpaceSaving.from_bytes(a.to_bytes())
+    assert back.floor == 3 and not back.is_exact
+    clean = SpaceSaving(capacity=8)
+    clean.merge(back)                       # floor propagates on merge
+    assert clean.floor == 3 and not clean.is_exact
+
+
 def test_roundtrip_bytes():
     sk = SpaceSaving(capacity=8)
     _add_counter(sk, Counter({"a": 3, "b": 1}))
     back = SpaceSaving.from_bytes(sk.to_bytes())
     assert back.counts == sk.counts and back.errors == sk.errors
-    assert back.capacity == 8
+    assert back.capacity == 8 and back.floor == 0
