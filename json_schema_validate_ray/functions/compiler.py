@@ -85,14 +85,58 @@ _POSIX_CLASSES = {
 }
 
 
+# GNU/POSIX escape forms Python `re` rejects or misreads, translated to the
+# equivalent Python constructs.  \< and \> (GNU start/end-of-word, supported
+# by glibc regcomp) previously failed to compile in `re`, so the check
+# silently PASSED where the reference matched a word boundary — a real
+# dialect divergence, now translated instead.
+_GNU_ESCAPES = {
+    "<": r"\b(?=\w)",   # start of word
+    ">": r"\b(?<=\w)",  # end of word
+    "`": r"\A",         # start of buffer
+    "'": r"\Z",         # end of buffer
+}
+
+_TRANSLATE_TOKENS = ("[:", "[.", "[=", "\\<", "\\>", "\\`", "\\'")
+
+
 def translate_posix_pattern(pattern: str) -> str:
-    """Translate POSIX bracket classes so ERE schema patterns compile in ``re``."""
-    if "[:" not in pattern:
+    """Translate POSIX/GNU ERE constructs so schema patterns behave in
+    Python ``re`` as they do under the reference's regcomp
+    (json_schema_validate.c:188): bracket classes ``[:alpha:]`` expand to
+    ranges, single-char collating/equivalence elements ``[.x.]`` / ``[=x=]``
+    become the character itself (Python would read them as a class of
+    ``[``/``.``/x), and GNU word/buffer anchors ``\\< \\> \\` \\'`` map to
+    lookaround/absolute anchors.  A backslash escapes the next character, so
+    ``\\\\<`` stays a literal backslash + ``<``.  Remaining divergences are
+    CHOSEN Python semantics, pinned in tests/test_regex_dialect.py."""
+    if not any(tok in pattern for tok in _TRANSLATE_TOKENS):
         return pattern
-    out = pattern
-    for posix, pyre in _POSIX_CLASSES.items():
-        out = out.replace(posix, pyre)
-    return out
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            out.append(_GNU_ESCAPES.get(nxt, c + nxt))
+            i += 2
+            continue
+        if c == "[" and i + 1 < n and pattern[i + 1] in ":.=":
+            mark = pattern[i + 1]
+            end = pattern.find(mark + "]", i + 2)
+            if mark == ":" and end != -1:
+                cls = pattern[i:end + 2]
+                if cls in _POSIX_CLASSES:
+                    out.append(_POSIX_CLASSES[cls])
+                    i = end + 2
+                    continue
+            elif mark in ".=" and end == i + 3:   # single-char [.x.] / [=x=]
+                out.append(re.escape(pattern[i + 2]))
+                i = end + 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 class RegexCache:

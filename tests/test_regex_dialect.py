@@ -99,3 +99,48 @@ def test_unanchored_search_semantics():
     # regexec searches anywhere in the string (not fullmatch)
     assert _both("doc", "xx doc yy")
     assert not _both("^doc", "xx doc")
+
+
+def test_gnu_word_anchors_translated():
+    # glibc regcomp supports \< \> (start/end of word); Python re rejects
+    # them, which used to make the check silently pass — now translated
+    assert _both(r"\<cat\>", "the cat sat")
+    assert not _both(r"\<cat\>", "concatenate")
+    assert not _both(r"\<cat\>", "cats")
+    assert _both(r"\<cat", "cats")          # start-of-word only
+    assert not _both(r"\<cat", "concat")
+    assert _both(r"cat\>", "concat")        # end-of-word only
+    assert not _both(r"cat\>", "cats")
+
+
+def test_gnu_buffer_anchors_translated():
+    assert _both("\\`abc", "abcdef")
+    assert not _both("\\`abc", "xabc")
+    assert _both(r"def\'", "abcdef")
+    assert not _both(r"def\'", "defabc")
+
+
+def test_escaped_backslash_before_angle_stays_literal():
+    # "\\\\<" is a literal backslash then '<' — NOT a word anchor
+    assert _both(r"a\\<b", r"a\<b")
+    assert not _both(r"a\\<b", "a<b")
+
+
+def test_collating_and_equivalence_elements():
+    # [[.a.]] / [[=a=]] are POSIX collating/equivalence elements for 'a';
+    # Python would read the inner tokens as a class containing '[', '.', 'a'
+    assert _both(r"^[[.a.]]+$", "aaa")
+    assert not _both(r"^[[.a.]]+$", "...")   # '.' must NOT match
+    assert not _both(r"^[[.a.]]+$", "[[[")   # '[' must NOT match
+    assert _both(r"^[[=a=]]+$", "aa")
+    assert not _both(r"^[[=a=]]+$", "==")
+    # special chars inside the element are escaped, not interpreted
+    assert _both(r"^[x[.^.]]+$", "x^x")
+    assert not _both(r"^[x[.^.]]+$", "b")    # ^ after [ is NOT negation here
+
+
+def test_class_of_dot_and_a_not_mistranslated():
+    # "[.a]" is a plain class {., a} — no collating element (no ".]" pair
+    # at the single-char offset), must pass through untouched
+    assert _both(r"^[.a]+$", ".a.")
+    assert not _both(r"^[.a]+$", "b")
