@@ -164,7 +164,8 @@ def run_bench() -> dict:
              "repetition_stats_documents", "near_dup_dedup_summary",
              "tfidf_top_terms", "pack_sequences_documents",
              "running_totals_events", "ranked_docs_by_length",
-             "semdedup_embeddings"]
+             "semdedup_embeddings", "ngram_jaccard_pairs", "bm25_top_docs",
+             "quantiles_by_group", "moving_avg_events"]
     reg = q.queries()
 
     def suite_runner(name):

@@ -142,7 +142,7 @@ def _explode_bands(batch: pa.Table, bands: int, id_column: str):
 BROADCAST_KEY_LIMIT = 2_000_000
 
 
-def _crowded_keys_dataset(rows, key: str):
+def _crowded_keys_dataset(rows, key: str, min_count: int = 2):
     """Keys held by >1 row, via the combiner + coarse-bucket pattern: a
     per-batch ``value_counts`` collapses within-batch repeats (bounding any
     key's shuffle rows to #blocks), the bucket groupby merges partials, and
@@ -161,7 +161,7 @@ def _crowded_keys_dataset(rows, key: str):
 
     def merge(g):
         out = g.groupby(key, as_index=False)["partial_count"].sum()
-        out = out[out["partial_count"] > 1]
+        out = out[out["partial_count"] >= min_count]
         idt = pa.Array.from_pandas(g[key].head(1)).type
         return pa.table({key: pa.array(out[key], type=idt)})
 
@@ -307,70 +307,291 @@ def jaccard(a: str, b: str, n_shingle: int = 3) -> float:
 def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                       threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16, n_shingle: int = 3,
-                      max_bucket: int = 64):
-    """Verified near-dup pairs: LSH candidates -> pairwise exact Jaccard
-    within each bucket (bucket size capped; oversize buckets are truncated
-    and logged in the output as bucket_truncated rows)."""
+                      max_bucket: int = 64,
+                      broadcast_limit: int = BROADCAST_KEY_LIMIT):
+    """Verified near-dup pairs: LSH candidate pairs from ID-ONLY band rows,
+    exact-Jaccard verification over texts fetched for CANDIDATE DOCS only.
+
+    Round-4 restructure (the 10M-row curate scale demo exposed the old
+    shape): the previous pipeline shipped the text payload through the
+    crowded-key semi-join and the verify groupby — above the broadcast
+    limit that became a distributed join moving n_docs x bands text rows
+    through TWO all-to-alls.  Now every wide exchange (band explode,
+    crowded-key prune, pair-emission groupby, pair dedup) carries
+    (id, band_key) only (~30 B/row); text appears once, in the bounded
+    candidate fetch (broadcast ``is_in`` under ``broadcast_limit``
+    distinct candidate ids, native hash join above), and each deduped pair
+    is verified after two narrow (pair x candidate-text) hash joins.
+    Assumes unique ids (duplicate ids fan out the candidate joins — run
+    the duplicate_doc_ids check first).  Oversize buckets are truncated to
+    ``max_bucket`` ids exactly as before."""
+    import ray
+    import ray.data as rd
+
     try:
         n_docs = ds.count()     # parquet metadata, no scan
     except Exception:
         n_docs = 0
     texts = ds.map_batches(
         lambda b: b.select([id_column, text_column]), batch_format="pyarrow")
-    # materialized: both the crowded-key count and the verify groupby consume
-    # the signatures; pinning (text x1 + band keys) avoids re-running MinHash
-    # per consumer (the exploded x16-bands form stays lazy and is re-derived
-    # cheaply from the pinned signatures)
-    sigs = texts.repartition(_sig_partitions(ds)).map_batches(
+
+    empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                      "id_b": pa.array([], type=pa.string()),
+                      "jaccard": pa.array([], type=pa.float64())})
+
+    band_cols = [id_column] + [f"band_{j}" for j in range(bands)]
+    keys = texts.repartition(_sig_partitions(ds)).map_batches(
         cached_stage(MinHasher, text_column=text_column, num_perm=num_perm,
                      bands=bands, n_shingle=n_shingle),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow").map_batches(
+        lambda b: b.select(band_cols), batch_format="pyarrow")
+    exploded = keys.map_batches(
+        lambda b: _explode_bands(b, bands, id_column), batch_format="pyarrow")
 
-    n = bands
-
-    def explode_with_text(batch: pa.Table):
-        # GENERATOR udf: one yielded table per band — the text payload is
-        # never held x``bands`` in one worker heap (zero-copy column reuse
-        # across yields; Ray streams each into its own block)
-        nn = batch.num_rows
-        ids = batch[id_column]
-        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-        txt = batch[text_column]
-        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
-        for j in range(n):
-            k = batch[f"band_{j}"]
-            yield pa.table({
-                id_column: ids,
-                text_column: txt,
-                "band_id": pa.array(np.full(nn, j, dtype=np.int32)),
-                "band_key": k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k,
-            })
-
-    exploded = sigs.map_batches(explode_with_text, batch_format="pyarrow")
-
-    # prune singleton buckets BEFORE shuffling text payloads; crowdedness is
-    # counted on a key-only projection so the text column never enters the
-    # count shuffle (see _semi_join_crowded: broadcast or distributed join,
-    # never truncated)
-    exploded = _semi_join_crowded(
-        exploded, "band_key",
-        key_rows=exploded.map_batches(lambda b: b.select(["band_key"]),
-                                      batch_format="pyarrow"))
+    # crowded-key prune on the skinny rows (broadcast or key-only join)
+    exploded = _semi_join_crowded(exploded, "band_key")
     if exploded is None:
-        import pandas as pd
-        import ray.data as rd
-        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
+        return rd.from_arrow(empty)
 
-    # coarse-bucket reduce (see _group_by_key_buckets): one task verifies all
-    # its (band_id, band_key) groups with an in-process loop instead of one
-    # map_groups dispatch per bucket
+    def emit_pairs(g):
+        seen: set = set()
+        rows_a, rows_b = [], []
+        for _, grp in g.groupby(["band_id", "band_key"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_column).head(max_bucket)
+            ids = grp[id_column].astype(str).tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    key = (ids[i], ids[j])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+        return pa.table({
+            "id_a": pa.array(rows_a, type=pa.string()),
+            "id_b": pa.array(rows_b, type=pa.string())})
+
+    cands = _group_by_key_buckets(
+        exploded, "band_key", rows_estimate=n_docs * bands or None).map_groups(
+        emit_pairs, batch_format="pandas")
+
+    # a pair can surface from several bands: global dedup on (id_a, id_b) —
+    # all rows of a pair share id_a, hence one coarse bucket
+    def dedup_bucket(g):
+        g = g.drop_duplicates(["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(g["id_a"], type=pa.string()),
+            "id_b": pa.array(g["id_b"], type=pa.string())})
+
+    # materialized: consumed by the candidate-id pass AND the verify joins.
+    # The repartition is load-bearing: map_groups partitions that received
+    # no groups emit ZERO-COLUMN empty blocks, and Ray 2.49's hash-shuffle
+    # join broadcasts the FIRST block's schema to empty partitions — a
+    # zero-column first block poisons the join ("no match for key field",
+    # see test_minhash_chained_join_regression); repartition rebuilds
+    # uniform-schema blocks.
+    # n_parts follows the cluster size (NOT a fixed floor): the two verify
+    # joins run concurrently in one streaming execution, and each join's
+    # aggregator pool reserves 0.125 CPU x partitions — a fixed 16-partition
+    # floor on a 4-CPU test session pins 4 CPUs in actors and deadlocks the
+    # pipeline (the shuffle tasks feeding them need 1 CPU each).
+    n_parts = max(2, _default_concurrency())
+    pairs = _group_by_key_buckets(cands, "id_a").map_groups(
+        dedup_bucket, batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    pairs = pairs.repartition(n_parts).materialize()
+
+    # distinct candidate ids (bounded by 2 x pairs, usually << corpus)
+    def local_ids(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([b["id_a"].combine_chunks(),
+                                 b["id_b"].combine_chunks()])
+        return pa.table({"cid": pc.unique(both)})
+
+    def distinct_ids(g):
+        return pa.table({"cid": pa.array(g["cid"].drop_duplicates(),
+                                         type=pa.string())})
+
+    cand_ids = _group_by_key_buckets(
+        pairs.map_batches(local_ids, batch_format="pyarrow"),
+        "cid").map_groups(distinct_ids, batch_format="pandas").materialize()
+    n_cand = cand_ids.count()
+
+    # fetch candidate texts: the ONLY exchange text ever enters, bounded by
+    # the candidate count
+    cand = texts.map_batches(
+        lambda b: pa.table({"cid": pc.cast(b[id_column], pa.string()),
+                            text_column: b[text_column]}),
+        batch_format="pyarrow")
+    if n_cand <= broadcast_limit:
+        vals = [r["cid"] for r in cand_ids.take(n_cand)]
+        ids_ref = ray.put(pa.array(vals, type=pa.string()))
+        cand = cand.map_batches(
+            lambda b: b.filter(pc.is_in(b["cid"],
+                                        value_set=ray.get(ids_ref))),
+            batch_format="pyarrow")
+    else:
+        cand = cand.join(cand_ids, join_type="inner",
+                         num_partitions=n_parts, on=("cid",))
+    # consumed by both verify joins; repartition for the same
+    # uniform-schema reason as `pairs` above
+    cand = cand.materialize().repartition(n_parts).materialize()
+
+    ja = pairs.join(cand, join_type="inner", num_partitions=n_parts,
+                    on=("id_a",), right_on=("cid",))
+    ja = ja.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "_text_a": b[text_column]}),
+        batch_format="pyarrow")
+    # the repartition between the chained joins is load-bearing: Ray 2.49's
+    # hash-shuffle join emits schema-less blocks for empty partitions, and a
+    # SECOND join fed those blocks dies in the aggregator with ArrowInvalid
+    # ("no match for key field on left side"); reshaping the blocks restores
+    # a uniform schema (verified by test_minhash_chained_join_regression)
+    ja = ja.repartition(n_parts)
+    jb = ja.join(cand, join_type="inner", num_partitions=n_parts,
+                 on=("id_b",), right_on=("cid",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        cache: dict = {}
+
+        def sh(i, txt):
+            v = cache.get(i)
+            if v is None:
+                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
+                cache[i] = v
+            return v
+
+        rows = []
+        for ia, ib, ta, tb in zip(b["id_a"].to_pylist(),
+                                  b["id_b"].to_pylist(),
+                                  b["_text_a"].to_pylist(),
+                                  b[text_column].to_pylist()):
+            sa, sb = sh(ia, ta), sh(ib, tb)
+            if not sa and not sb:
+                jac = 1.0
+            elif not sa or not sb:
+                jac = 0.0
+            else:
+                jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                rows.append((ia, ib, round(jac, 4)))
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
+
+    return jb.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity joins: prefix-filtered n-gram Jaccard + containment
+# ---------------------------------------------------------------------------
+
+def _distinct_shingles_per_row(texts, n_shingle: int):
+    """(distinct sorted shingle hashes, row ids, per-row distinct counts) for
+    a whole batch — one batch_shingle_hashes pass + one lexsort; no Python
+    loop.  Within each row the distinct hashes come out ASCENDING, which is
+    the global total order the prefix filter needs."""
+    from ..stages.text import batch_shingle_hashes
+
+    flat, offsets = batch_shingle_hashes(texts, n_shingle)
+    n = len(offsets) - 1
+    L = np.diff(offsets)
+    rows = np.repeat(np.arange(n, dtype=np.int64), L)
+    if len(flat) == 0:
+        return flat, rows, np.zeros(n, dtype=np.int64)
+    order = np.lexsort((flat, rows))
+    sf, sr = flat[order], rows[order]
+    first = np.ones(len(sf), dtype=bool)
+    first[1:] = (sf[1:] != sf[:-1]) | (sr[1:] != sr[:-1])
+    df_, dr = sf[first], sr[first]
+    dL = np.bincount(dr, minlength=n).astype(np.int64)
+    return df_, dr, dL
+
+
+def _emit_shingle_keys(b: pa.Table, id_column: str, text_column: str,
+                       n_shingle: int, threshold: float,
+                       emit_all: bool = False) -> pa.Table:
+    """One row per (shingle key, doc): the PREFIX-FILTER emission.  With
+    Jaccard threshold t, a doc with |S| distinct shingles emits its
+    |S| - ceil(t*|S|) + 1 smallest hashes (Chaudhuri/Bayardo prefix
+    filtering: two sets with J >= t must share a prefix element, so
+    grouping by emitted key loses NO qualifying pair).  ``emit_all``
+    emits every distinct shingle (the index side of the containment
+    join).  Text rides along for in-bucket verification, exactly like
+    the MinHash verify stage."""
+    df_, dr, dL = _distinct_shingles_per_row(b[text_column], n_shingle)
+    if len(df_) == 0:
+        idt = b.schema.field(id_column).type
+        return pa.table({
+            "pkey": pa.array([], type=pa.int64()),
+            id_column: pa.array([], type=idt),
+            text_column: pa.array([], type=pa.string()),
+            "n_sh": pa.array([], type=pa.int64()),
+        })
+    if emit_all:
+        keep = np.ones(len(df_), dtype=bool)
+    else:
+        starts = np.concatenate([[0], np.cumsum(dL)[:-1]])
+        pos = np.arange(len(df_), dtype=np.int64) - np.repeat(starts, dL)
+        plen = dL - np.ceil(threshold * dL).astype(np.int64) + 1
+        keep = pos < np.repeat(plen, dL)
+    pk, pr = df_[keep], dr[keep]
+    idx = pa.array(pr, type=pa.int64())
+    ids = pc.take(b[id_column], idx)
+    txt = pc.take(b[text_column], idx)
+    return pa.table({
+        "pkey": pa.array(pk.view(np.int64), type=pa.int64()),
+        id_column: ids,
+        text_column: txt,
+        "n_sh": pa.array(dL[pr], type=pa.int64()),
+    })
+
+
+def ngram_jaccard_pairs(ds, text_column: str = "text",
+                        id_column: str = "doc_id", threshold: float = 0.5,
+                        n_shingle: int = 3):
+    """EXACT n-gram Jaccard self-join: every unordered pair of non-empty
+    documents whose distinct word-``n_shingle``-gram sets have Jaccard >=
+    ``threshold`` — deterministic completeness, unlike the MinHash+LSH
+    pipeline (whose recall is probabilistic).  Classic prefix filtering
+    (All-Pairs/PPJoin): each doc emits its |S|-ceil(t|S|)+1 smallest
+    shingle hashes as keys; any qualifying pair is guaranteed to meet in
+    >=1 key group, where it is verified by exact set intersection.  Scale
+    shape mirrors the MinHash verify stage: singleton keys are pruned
+    BEFORE the text payload shuffles (crowdedness counted on a key-only
+    projection), the reduce is coarse-bucketed, and a pair surfacing under
+    several keys is verified once per bucket and deduped after.  Scores are
+    exact-int ``jaccard_1e6`` = floor(J*1e6 + 0.5) for bit-parity."""
+    from ..stages.text import _token_hashes
+
+    try:
+        n_docs = ds.count()
+    except Exception:
+        n_docs = 0
+    texts = ds.map_batches(lambda b: b.select([id_column, text_column]),
+                           batch_format="pyarrow")
+    emitted = texts.repartition(_sig_partitions(ds)).map_batches(
+        lambda b: _emit_shingle_keys(b, id_column, text_column, n_shingle,
+                                     threshold),
+        batch_format="pyarrow")
+    crowded = _semi_join_crowded(
+        emitted, "pkey",
+        key_rows=emitted.map_batches(lambda b: b.select(["pkey"]),
+                                     batch_format="pyarrow"))
+    empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                      "id_b": pa.array([], type=pa.string()),
+                      "jaccard_1e6": pa.array([], type=pa.int64())})
+    if crowded is None:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+
     def verify_bucket(g):
-        # shingle sets computed ONCE per distinct doc in the bucket (a doc
-        # appears in every band group it is crowded in; recomputing per pair
-        # was the hot loop), pairs verified by set ops and deduped here so
-        # a pair surfacing in several bands costs one verification
         shingles: dict = {}
-        seen_pairs: set = set()
+        seen: set = set()
         rows = []
 
         def sh(i, txt):
@@ -380,44 +601,163 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                 shingles[i] = v
             return v
 
-        for _, grp in g.groupby(["band_id", "band_key"], sort=False):
+        for _, grp in g.groupby("pkey", sort=False):
             if len(grp) < 2:
                 continue
-            grp = grp.sort_values(id_column).head(max_bucket)
-            ids = grp[id_column].astype(str).tolist()
+            grp = grp.sort_values(id_column)
+            ids = grp[id_column].tolist()
+            labels = grp[id_column].astype(str).tolist()
             txts = grp[text_column].tolist()
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    key = (ids[i], ids[j])
-                    if key in seen_pairs:
+                    if ids[i] == ids[j]:
                         continue
-                    seen_pairs.add(key)
-                    sa, sb = sh(ids[i], txts[i]), sh(ids[j], txts[j])
-                    if not sa and not sb:
-                        jac = 1.0
-                    elif not sa or not sb:
-                        jac = 0.0
-                    else:
-                        jac = len(sa & sb) / len(sa | sb)
+                    key = (labels[i], labels[j])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    sa, sb = sh(labels[i], txts[i]), sh(labels[j], txts[j])
+                    if not sa or not sb:
+                        continue
+                    jac = len(sa & sb) / len(sa | sb)
                     if jac >= threshold:
-                        rows.append((ids[i], ids[j], round(jac, 4)))
+                        rows.append((labels[i], labels[j],
+                                     int(np.floor(jac * 1e6 + 0.5))))
         return pa.table({
             "id_a": pa.array([r[0] for r in rows], type=pa.string()),
             "id_b": pa.array([r[1] for r in rows], type=pa.string()),
-            "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
+            "jaccard_1e6": pa.array([r[2] for r in rows], type=pa.int64())})
 
-    pairs = _group_by_key_buckets(exploded, "band_key",
-                                  rows_estimate=n_docs * bands or None).map_groups(
+    pairs = _group_by_key_buckets(
+        crowded, "pkey", rows_estimate=n_docs * 24 or None).map_groups(
         verify_bucket, batch_format="pandas")
 
-    # a pair can surface from several bands: dedup on (id_a, id_b) — same
-    # coarse-bucket pattern (a pair's rows share id_a, hence one bucket)
     def dedup_bucket(g):
         g = g.drop_duplicates(["id_a", "id_b"])
         return pa.table({
             "id_a": pa.array(g["id_a"], type=pa.string()),
             "id_b": pa.array(g["id_b"], type=pa.string()),
-            "jaccard": pa.array(g["jaccard"], type=pa.float64())})
+            "jaccard_1e6": pa.array(g["jaccard_1e6"], type=pa.int64())})
+
+    return _group_by_key_buckets(pairs, "id_a").map_groups(
+        dedup_bucket, batch_format="pandas")
+
+
+def containment_pairs(ds, text_column: str = "text",
+                      id_column: str = "doc_id", threshold: float = 0.8,
+                      n_shingle: int = 3, df_cap: int | None = None):
+    """EXACT shingle-containment self-join: pairs (A, B) with
+    |A∩B| / |A| >= ``threshold`` where A is the smaller distinct-shingle
+    set (ties broken by id) — finds documents substantially CONTAINED in
+    others (quote inflation, wrapper boilerplate), which Jaccard misses
+    when |B| >> |A|.  Asymmetric indexing: the probe side emits A's
+    floor((1-t)|A|)+1 smallest shingles (if every prefix element were
+    outside B, more than (1-t)|A| of A would be outside B — contradiction,
+    so a qualifying pair always meets), the index side emits ALL distinct
+    shingles.  Index fan-out is the scale cost; ``df_cap`` (optional)
+    drops shingles hotter than the cap from the index — the documented
+    stop-shingle approximation for boilerplate-heavy corpora; None (the
+    default and the oracle mode) is exact."""
+    from ..stages.text import _token_hashes
+
+    try:
+        n_docs = ds.count()
+    except Exception:
+        n_docs = 0
+    texts = ds.map_batches(lambda b: b.select([id_column, text_column]),
+                           batch_format="pyarrow")
+
+    def emit_both(b: pa.Table):
+        probe = _emit_shingle_keys(b, id_column, text_column, n_shingle,
+                                   threshold)
+        idx = _emit_shingle_keys(b, id_column, text_column, n_shingle,
+                                 threshold, emit_all=True)
+        yield probe.append_column(
+            "role", pa.array(np.zeros(probe.num_rows, dtype=np.int8)))
+        yield idx.append_column(
+            "role", pa.array(np.ones(idx.num_rows, dtype=np.int8)))
+
+    emitted = texts.repartition(_sig_partitions(ds)).map_batches(
+        emit_both, batch_format="pyarrow")
+    if df_cap is not None:
+        # stop-shingle cap: count index-side df per key once (key-only
+        # projection), broadcast the hot-key set, drop those index rows
+        import ray
+        hot = _crowded_keys_dataset(
+            emitted.map_batches(
+                lambda b: b.filter(pc.equal(b["role"], 1)).select(["pkey"]),
+                batch_format="pyarrow"),
+            "pkey", min_count=df_cap + 1).materialize()
+        if hot.count() > 0:
+            hot_ref = ray.put(pa.array([r["pkey"] for r in hot.take_all()],
+                                       type=pa.int64()))
+            emitted = emitted.map_batches(
+                lambda b: b.filter(pc.or_(
+                    pc.equal(b["role"], 0),
+                    pc.invert(pc.is_in(b["pkey"],
+                                       value_set=ray.get(hot_ref))))),
+                batch_format="pyarrow")
+    crowded = _semi_join_crowded(
+        emitted, "pkey",
+        key_rows=emitted.map_batches(lambda b: b.select(["pkey"]),
+                                     batch_format="pyarrow"))
+    empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                      "id_b": pa.array([], type=pa.string()),
+                      "containment_1e6": pa.array([], type=pa.int64())})
+    if crowded is None:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+
+    def verify_bucket(g):
+        shingles: dict = {}
+        seen: set = set()
+        rows = []
+
+        def sh(i, txt):
+            v = shingles.get(i)
+            if v is None:
+                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
+                shingles[i] = v
+            return v
+
+        for _, grp in g.groupby("pkey", sort=False):
+            pr = grp[grp["role"] == 0]
+            ix = grp[grp["role"] == 1]
+            if len(pr) == 0 or len(ix) == 0:
+                continue
+            for ia, ta, na in zip(pr[id_column], pr[text_column], pr["n_sh"]):
+                for ib, tb, nb in zip(ix[id_column], ix[text_column],
+                                      ix["n_sh"]):
+                    if ia == ib or na > nb or (na == nb and ia >= ib):
+                        continue
+                    key = (str(ia), str(ib))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    sa, sb = sh(key[0], ta), sh(key[1], tb)
+                    if not sa:
+                        continue
+                    c = len(sa & sb) / len(sa)
+                    if c >= threshold:
+                        rows.append((key[0], key[1],
+                                     int(np.floor(c * 1e6 + 0.5))))
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "containment_1e6": pa.array([r[2] for r in rows],
+                                        type=pa.int64())})
+
+    pairs = _group_by_key_buckets(
+        crowded, "pkey", rows_estimate=n_docs * 48 or None).map_groups(
+        verify_bucket, batch_format="pandas")
+
+    def dedup_bucket(g):
+        g = g.drop_duplicates(["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(g["id_a"], type=pa.string()),
+            "id_b": pa.array(g["id_b"], type=pa.string()),
+            "containment_1e6": pa.array(g["containment_1e6"],
+                                        type=pa.int64())})
 
     return _group_by_key_buckets(pairs, "id_a").map_groups(
         dedup_bucket, batch_format="pandas")

@@ -2454,6 +2454,513 @@ FROM events
 """
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard self-join via prefix filtering (All-Pairs /
+    PPJoin, Bayardo et al. 2007): deterministic completeness — every pair
+    with J >= 0.5 over distinct word-3-gram sets is found and verified by
+    exact set intersection, unlike the MinHash pipeline's probabilistic
+    recall.  The oracle computes the same exact Jaccard for all pairs in
+    SQL.  Scores as exact-int jaccard_1e6 (floor(J*1e6+0.5))."""
+    from .dedup import ngram_jaccard_pairs
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+j AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT CAST(ia AS VARCHAR) AS id_a, CAST(ib AS VARCHAR) AS id_b,
+       CAST(floor(jac * 1000000.0 + 0.5) AS BIGINT) AS jaccard_1e6
+FROM j WHERE jac >= 0.5
+"""
+
+
+def q_containment_pairs(sf_dir: str):
+    """EXACT shingle-containment self-join (|A∩B|/|A| >= 0.8, A the smaller
+    distinct-shingle set): finds documents substantially contained in
+    larger ones — the dedup case Jaccard misses when |B| >> |A|.
+    Asymmetric prefix/index emission (pipelines/dedup.containment_pairs);
+    the oracle computes the same containment for all ordered pairs."""
+    from .dedup import containment_pairs
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return containment_pairs(ds, "text", "doc_id", threshold=0.8)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS cont
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND (len(a.sh) < len(b.sh)
+         OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+)
+SELECT CAST(ia AS VARCHAR) AS id_a, CAST(ib AS VARCHAR) AS id_b,
+       CAST(floor(cont * 1000000.0 + 0.5) AS BIGINT) AS containment_1e6
+FROM p WHERE cont >= 0.8
+"""
+
+
+_BM25_TERMS = ("spark", "stream", "window")
+
+
+def q_bm25_top_docs(sf_dir: str):
+    """BM25 retrieval (k1=1.2, b=0.75) of the top-20 documents for a fixed
+    query, using the log-free idf RATIO (N-df+0.5)/(df+0.5) — monotone in
+    the classic idf but built from +,*,/ on exact-integer inputs only, so
+    the double arithmetic is bit-identical in numpy and DuckDB (no libm
+    ln whose rounding could differ).  Two passes: one tiny combiner
+    aggregate for (N, sum_dl, df per term), then one streaming scoring
+    pass with a per-batch local top-k prune before the final k-row sort —
+    the corpus never enters a shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _toks(b: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        blank = pc.fill_null(pc.equal(trimmed, ""), True) \
+            .to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ~blank[parent]
+        return flat[keep], parent[keep], b.num_rows
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        flat, parent, n = _toks(b)
+        dfs = []
+        for t in _BM25_TERMS:
+            hits = np.bincount(parent[flat == t], minlength=n) > 0
+            dfs.append(int(hits.sum()))
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "sum_dl": pa.array([int(len(flat))], type=pa.int64()),
+            **{f"df{i+1}": pa.array([d], type=pa.int64())
+               for i, d in enumerate(dfs)},
+        })
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    N = sum(r["n"] for r in parts)
+    sum_dl = sum(r["sum_dl"] for r in parts)
+    dfs = [sum(r[f"df{i+1}"] for r in parts) for i in range(len(_BM25_TERMS))]
+    avgdl = float(sum_dl) / float(N)
+    idfs = [(float(N) - float(d) + 0.5) / (float(d) + 0.5) for d in dfs]
+
+    k = 20
+
+    def score(b: pa.Table) -> pa.Table:
+        flat, parent, n = _toks(b)
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
+        total = np.zeros(n, dtype=np.float64)
+        for idf, t in zip(idfs, _BM25_TERMS):
+            tf = np.bincount(parent[flat == t], minlength=n) \
+                .astype(np.float64)
+            total = total + idf * (tf * 2.2) / (tf + 1.2 * (0.25
+                                                + (0.75 * dl) / avgdl))
+        s = np.floor(total * 1000000.0 + 0.5).astype(np.int64)
+        out = pa.table({"doc_id": b["doc_id"],
+                        "score_1e6": pa.array(s, type=pa.int64())})
+        # local top-k prune: each batch forwards at most k rows
+        return out.sort_by([("score_1e6", "descending"),
+                            ("doc_id", "ascending")]).slice(0, k)
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["score_1e6", "doc_id"], descending=[True, False])
+              .limit(k))
+
+
+SQL_BM25_TOP_DOCS = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS sum_dl,
+         CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+              AS BIGINT) AS df1,
+         CAST(SUM(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END)
+              AS BIGINT) AS df2,
+         CAST(SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)
+              AS BIGINT) AS df3
+  FROM d
+),
+sc AS (
+  SELECT doc_id,
+    (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+      * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2)
+      / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+         + 1.2 * (0.25 + (0.75 * CAST(len(toks) AS DOUBLE))
+                          / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+      * (CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) * 2.2)
+      / (CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE)
+         + 1.2 * (0.25 + (0.75 * CAST(len(toks) AS DOUBLE))
+                          / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + (CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)
+      * (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * 2.2)
+      / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+         + 1.2 * (0.25 + (0.75 * CAST(len(toks) AS DOUBLE))
+                          / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    AS score
+  FROM d CROSS JOIN st
+)
+SELECT doc_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_1e6
+FROM sc ORDER BY score_1e6 DESC, doc_id LIMIT 20
+"""
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: the 15 most frequent word bigrams with their
+    PMI expressed as the exact integer ratio
+    floor(1e6 * c_xy * T * T / (B * c_x * c_y))  (T = total tokens, B =
+    total bigrams) — PURE integer arithmetic (Python bigints / HUGEINT in
+    the oracle), no log, no float, so parity is exact.  Counts flow
+    through the combiner + coarse-bucket merges (shuffle bounded by
+    distinct-gram cardinality); the driver touches only per-bucket top-k
+    rows and the <=2k unigram lookups the final 15 grams need."""
+    from .dedup import _group_by_key_buckets
+    import ray
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def _toks(b: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        blank = pc.fill_null(pc.equal(trimmed, ""), True) \
+            .to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ~blank[parent]
+        return flat.filter(pa.array(keep)), parent[keep]
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        flat, _ = _toks(b)
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        flat, parent = _toks(b)
+        if len(flat) < 2:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        grams = grams.filter(pa.array(parent[:-1] == parent[1:]))
+        vc = grams.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"gram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def merge(key):
+        def f(g):
+            out = g.groupby(key, sort=False)["n"].sum().reset_index()
+            return pa.table({key: pa.array(out[key], type=pa.string()),
+                             "n": pa.array(out["n"], type=pa.int64())})
+        return f
+
+    uni = _group_by_key_buckets(
+        ds.map_batches(uni_partial, batch_format="pyarrow"), "tok") \
+        .map_groups(merge("tok"), batch_format="pandas").materialize()
+    big = _group_by_key_buckets(
+        ds.map_batches(bi_partial, batch_format="pyarrow"), "gram") \
+        .map_groups(merge("gram"), batch_format="pandas").materialize()
+
+    T = sum(r["s"] for r in uni.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b["n"]).as_py() or 0)], type=pa.int64())}),
+        batch_format="pyarrow").take_all())
+    B = sum(r["s"] for r in big.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b["n"]).as_py() or 0)], type=pa.int64())}),
+        batch_format="pyarrow").take_all())
+
+    k = 15
+    heads = big.map_batches(
+        lambda b: b.sort_by([("n", "descending"), ("gram", "ascending")])
+                   .slice(0, k),
+        batch_format="pyarrow").take_all()
+    heads.sort(key=lambda r: (-r["n"], r["gram"]))
+    top = heads[:k]
+
+    words = sorted({w for r in top for w in r["gram"].split(" ")})
+    wref = pa.array(words, type=pa.string())
+    lookups = uni.map_batches(
+        lambda b: b.filter(pc.is_in(b["tok"], value_set=wref)),
+        batch_format="pyarrow").take_all()
+    cnt = {r["tok"]: r["n"] for r in lookups}
+
+    grams, ns, pmis = [], [], []
+    for r in top:
+        w1, w2 = r["gram"].split(" ")
+        pmi = (1000000 * r["n"] * T * T) // (B * cnt[w1] * cnt[w2])
+        grams.append(r["gram"]); ns.append(r["n"]); pmis.append(pmi)
+    return pa.table({
+        "gram": pa.array(grams, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+        "pmi_ratio_1e6": pa.array(pmis, type=pa.int64()),
+    })
+
+
+SQL_BIGRAM_PMI = r"""
+WITH d AS (
+  SELECT CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+u AS (SELECT unnest(toks) AS tok FROM d),
+uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok),
+ut AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc),
+b0 AS (
+  SELECT CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(toks)),
+             i -> concat_ws(' ', toks[i], toks[i+1])) END AS grams
+  FROM d
+),
+bg AS (SELECT unnest(grams) AS gram FROM b0),
+bc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cxy FROM bg GROUP BY gram),
+bt AS (SELECT CAST(SUM(cxy) AS BIGINT) AS btot FROM bc),
+top AS (SELECT gram, cxy FROM bc ORDER BY cxy DESC, gram LIMIT 15)
+SELECT top.gram, top.cxy AS n,
+  CAST((1000000 * CAST(top.cxy AS HUGEINT) * ut.t * ut.t)
+       // (CAST(bt.btot AS HUGEINT) * c1.c * c2.c) AS BIGINT)
+    AS pmi_ratio_1e6
+FROM top
+JOIN uc c1 ON c1.tok = string_split(top.gram, ' ')[1]
+JOIN uc c2 ON c2.tok = string_split(top.gram, ' ')[2]
+CROSS JOIN ut CROSS JOIN bt
+"""
+
+
+def q_moving_avg_events(sf_dir: str):
+    """Frame-based window aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW): per-user rolling sum + row count of value cents ordered by
+    (ts, event_id).  Reported as exact int64 (window sum of cents + window
+    row count) rather than a float AVG so the oracle is bit-checkable.
+    Same scale shape as LAG: co-partition by user via the size-derived
+    bucket groupby, one vectorized pandas rolling per bucket — per-group
+    memory bounded by the bucket target, no global sort."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def roll(g):
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        gg = g.assign(c=cents).groupby("user_id", sort=False)["c"]
+        win_sum = gg.rolling(4, min_periods=1).sum().to_numpy()
+        win_n = gg.rolling(4, min_periods=1).count().to_numpy()
+        return pa.table({
+            "event_id": pa.array(g["event_id"], type=pa.int64()),
+            "user_id": pa.array(g["user_id"], type=pa.int64()),
+            "win_sum_cents": pa.array(win_sum.astype(np.int64),
+                                      type=pa.int64()),
+            "win_n": pa.array(win_n.astype(np.int64), type=pa.int64()),
+        })
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket").map_groups(roll, batch_format="pandas"))
+
+
+SQL_MOVING_AVG_EVENTS = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS win_sum_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_lead_first_last_events(sf_dir: str):
+    """LEAD / FIRST_VALUE / LAST_VALUE window functions per user over
+    (ts, event_id) order — LAST_VALUE with the explicit full frame (the SQL
+    default frame would stop at the current row).  The last event per user
+    has a NULL lead, matching SQL LEAD.  Same co-partitioned bucket shape
+    as LAG: one vectorized pandas pass per bucket (shift(-1) +
+    transform(first/last)), per-group memory bounded."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def win(g):
+        import pandas as pd
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)["event_id"]
+        lead = grp.shift(-1)
+        return pa.table({
+            "event_id": pa.array(g["event_id"], type=pa.int64()),
+            "user_id": pa.array(g["user_id"], type=pa.int64()),
+            "lead_event_id": pa.Array.from_pandas(lead).cast(pa.int64()),
+            "first_event_id": pa.array(
+                grp.transform("first").to_numpy().astype(np.int64),
+                type=pa.int64()),
+            "last_event_id": pa.array(
+                grp.transform("last").to_numpy().astype(np.int64),
+                type=pa.int64()),
+        })
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket").map_groups(win, batch_format="pandas"))
+
+
+SQL_LEAD_FIRST_LAST_EVENTS = """
+SELECT event_id, user_id,
+       LEAD(event_id) OVER w AS lead_event_id,
+       FIRST_VALUE(event_id) OVER w AS first_event_id,
+       LAST_VALUE(event_id) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_quantiles_by_group(sf_dir: str):
+    """Per-group exact discrete quantiles (PERCENTILE_DISC semantics: the
+    smallest value whose cumulative fraction >= q) of ``n_chars`` per
+    ``lang``.  n_chars is a BOUNDED integer domain, so the exact answer
+    needs only (lang, n_chars) -> count partials: each batch emits its
+    local pair counts (combiner), one pair-bucketed merge bounds the
+    shuffle by pair cardinality (#langs x #distinct lengths, thousands),
+    and the driver derives the quantiles from the tiny merged table.  No
+    per-group sort, no full-column shuffle — the same bounded-domain
+    pattern as the exact bincount quantile (stages/checks.py)."""
+    from .dedup import _group_by_key_buckets
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                          "v": b["n_chars"].to_pandas()})
+        out = g.groupby(["lang", "v"], sort=False).size().reset_index(name="n")
+        out["pair"] = out["lang"] + "\x1f" + out["v"].astype(str)
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "v": pa.array(out["v"], type=pa.int64()),
+            "pair": pa.array(out["pair"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def merge(g):
+        out = g.groupby(["lang", "v"], sort=False)["n"].sum().reset_index()
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "v": pa.array(out["v"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    counts = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "pair").map_groups(
+        merge, batch_format="pandas").take_all()
+
+    import pandas as pd
+    df = pd.DataFrame(counts).sort_values(["lang", "v"])
+    langs, p50, p90, ns = [], [], [], []
+    for lang, g in df.groupby("lang", sort=True):
+        v = g["v"].to_numpy()
+        c = np.cumsum(g["n"].to_numpy())
+        n = int(c[-1])
+        # PERCENTILE_DISC: smallest v with cum/n >= q (float64 division,
+        # the same arithmetic DuckDB applies)
+        p50.append(int(v[np.searchsorted(c / n, 0.5, side="left")]))
+        p90.append(int(v[np.searchsorted(c / n, 0.9, side="left")]))
+        langs.append(lang)
+        ns.append(n)
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+        "p50_chars": pa.array(p50, type=pa.int64()),
+        "p90_chars": pa.array(p90, type=pa.int64()),
+    })
+
+
+SQL_QUANTILES_BY_GROUP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+         AS p50_chars,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+         AS p90_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_component_size_histogram(sf_dir: str):
+    """Near-dup cluster-size distribution: how many duplicate clusters have
+    2, 3, 4… members — the standard dedup diagnostic (a fat tail means a
+    boilerplate template is flooding the corpus).  Derived from the
+    clustered (doc_id, component) table, which is already bounded (only
+    near-dup nodes), so two tiny aggregates finish the job."""
+    from .dedup import near_dup_components
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    comps = near_dup_components(ds, "text", "doc_id", threshold=0.5)
+    sizes = comps.groupby("component").count()
+    hist = sizes.map_batches(
+        lambda b: pa.table({"component_size": b["count()"]}),
+        batch_format="pyarrow").groupby("component_size").count()
+    return hist.map_batches(
+        lambda b: pa.table({
+            "component_size": b["component_size"].cast(pa.int64()),
+            "n_components": b["count()"].cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+SQL_COMPONENT_SIZE_HISTOGRAM = ("WITH RECURSIVE " + _PAIR_GRAPH_CTES + r""",
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+  FROM comp GROUP BY component
+)
+SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY component_size
+""")
+
+
 def q_rollup_lang_source(sf_dir: str):
     """ROLLUP aggregate: counts at (lang, source), (lang), and grand-total
     levels.  The base (lang, source) counts come from combiner partials +
@@ -2786,7 +3293,20 @@ REGISTRY: dict[str, tuple] = {
     "curriculum_pack_documents": (q_curriculum_pack_documents,
                                   SQL_CURRICULUM_PACK_DOCUMENTS),
     # ------------------------------------------------------------------
-    # Kept veterans (driver window slots 23-50): the flagship tokens
+    # Round-4 operators (driver window slots 23+): window frames, exact
+    # per-group quantiles, dedup diagnostics.
+    "moving_avg_events": (q_moving_avg_events, SQL_MOVING_AVG_EVENTS),
+    "lead_first_last_events": (q_lead_first_last_events,
+                               SQL_LEAD_FIRST_LAST_EVENTS),
+    "quantiles_by_group": (q_quantiles_by_group, SQL_QUANTILES_BY_GROUP),
+    "component_size_histogram": (q_component_size_histogram,
+                                 SQL_COMPONENT_SIZE_HISTOGRAM),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "bm25_top_docs": (q_bm25_top_docs, SQL_BM25_TOP_DOCS),
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    # ------------------------------------------------------------------
+    # Kept veterans (driver window slots 27-50): the flagship tokens
     # pipelines and the core north-rule checks stay driver-verified.
     # ------------------------------------------------------------------
     # flagship tokens pipelines (deterministic synthesized input; the oracle
