@@ -308,7 +308,8 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                       threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16, n_shingle: int = 3,
                       max_bucket: int = 64,
-                      broadcast_limit: int = BROADCAST_KEY_LIMIT):
+                      broadcast_limit: int = BROADCAST_KEY_LIMIT,
+                      text_broadcast_limit: int = 100_000):
     """Verified near-dup pairs: LSH candidate pairs from ID-ONLY band rows,
     exact-Jaccard verification over texts fetched for CANDIDATE DOCS only.
 
@@ -340,11 +341,14 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                       "jaccard": pa.array([], type=pa.float64())})
 
     band_cols = [id_column] + [f"band_{j}" for j in range(bands)]
+    # materialized: the crowded-key count and the prune filter both consume
+    # the band keys — pinning the SKINNY table (id + bands x int64, no
+    # text; ~1.4 GB at 10M docs) runs MinHash once instead of twice
     keys = texts.repartition(_sig_partitions(ds)).map_batches(
         cached_stage(MinHasher, text_column=text_column, num_perm=num_perm,
                      bands=bands, n_shingle=n_shingle),
         batch_format="pyarrow").map_batches(
-        lambda b: b.select(band_cols), batch_format="pyarrow")
+        lambda b: b.select(band_cols), batch_format="pyarrow").materialize()
     exploded = keys.map_batches(
         lambda b: _explode_bands(b, bands, id_column), batch_format="pyarrow")
 
@@ -385,23 +389,91 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             "id_a": pa.array(g["id_a"], type=pa.string()),
             "id_b": pa.array(g["id_b"], type=pa.string())})
 
-    # materialized: consumed by the candidate-id pass AND the verify joins.
-    # The repartition is load-bearing: map_groups partitions that received
-    # no groups emit ZERO-COLUMN empty blocks, and Ray 2.49's hash-shuffle
-    # join broadcasts the FIRST block's schema to empty partitions — a
-    # zero-column first block poisons the join ("no match for key field",
-    # see test_minhash_chained_join_regression); repartition rebuilds
-    # uniform-schema blocks.
-    # n_parts follows the cluster size (NOT a fixed floor): the two verify
-    # joins run concurrently in one streaming execution, and each join's
-    # aggregator pool reserves 0.125 CPU x partitions — a fixed 16-partition
-    # floor on a 4-CPU test session pins 4 CPUs in actors and deadlocks the
-    # pipeline (the shuffle tasks feeding them need 1 CPU each).
+    # materialized: consumed by the pair count, the candidate-id pass and
+    # the verify stage.  n_parts follows the cluster size (NOT a fixed
+    # floor): the two verify joins run concurrently in one streaming
+    # execution, and each join's aggregator pool reserves 0.125 CPU x
+    # partitions — a fixed 16-partition floor on a 4-CPU test session pins
+    # 4 CPUs in actors and deadlocks the pipeline (the shuffle tasks
+    # feeding them need 1 CPU each).
     n_parts = max(2, _default_concurrency())
     pairs = _group_by_key_buckets(cands, "id_a").map_groups(
         dedup_bucket, batch_format="pandas").materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(empty)
+
+    # fetch candidate texts: the ONLY exchange text ever enters, bounded by
+    # the candidate count
+    cand = texts.map_batches(
+        lambda b: pa.table({"cid": pc.cast(b[id_column], pa.string()),
+                            text_column: b[text_column]}),
+        batch_format="pyarrow")
+
+    def _verify_rows(ias, ibs, tas, tbs):
+        cache: dict = {}
+
+        def sh(i, txt):
+            v = cache.get(i)
+            if v is None:
+                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
+                cache[i] = v
+            return v
+
+        rows = []
+        for ia, ib, ta, tb in zip(ias, ibs, tas, tbs):
+            sa, sb = sh(ia, ta), sh(ib, tb)
+            if not sa and not sb:
+                jac = 1.0
+            elif not sa or not sb:
+                jac = 0.0
+            else:
+                jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                rows.append((ia, ib, round(jac, 4)))
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
+
+    if n_pairs * 2 <= text_broadcast_limit:
+        # small-candidate fast path: the candidate ids (<= 2 x pairs) fit on
+        # the driver, so broadcast the candidate texts ONCE and verify pairs
+        # in a single streaming pass — the join plumbing below costs ~5 s of
+        # fixed stage overhead (distinct-id groupby + two hash joins + the
+        # schema-healing repartitions) that tiny inputs never amortize
+        ids_set = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            ids_set.update(b["id_a"].to_pylist())
+            ids_set.update(b["id_b"].to_pylist())
+        id_filter = pa.array(sorted(ids_set), type=pa.string())
+        tbl = pa.concat_tables(
+            [pa.table({"cid": b["cid"], text_column: b[text_column]})
+             for b in cand.map_batches(
+                 lambda b: b.filter(pc.is_in(b["cid"],
+                                             value_set=id_filter)),
+                 batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow")]).combine_chunks()
+        tbl_ref = ray.put(tbl)
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            t = ray.get(tbl_ref)
+            ia = pc.index_in(b["id_a"], value_set=t["cid"])
+            ib = pc.index_in(b["id_b"], value_set=t["cid"])
+            tas = pc.take(t[text_column], ia).to_pylist()
+            tbs = pc.take(t[text_column], ib).to_pylist()
+            return _verify_rows(b["id_a"].to_pylist(),
+                                b["id_b"].to_pylist(), tas, tbs)
+
+        return pairs.map_batches(verify_bcast, batch_format="pyarrow")
+
+    # JOIN path (candidates above the broadcast bar).  The repartition is
+    # load-bearing: map_groups partitions that received no groups emit
+    # ZERO-COLUMN empty blocks, and Ray 2.49's hash-shuffle join broadcasts
+    # the FIRST block's schema to empty partitions — a zero-column first
+    # block poisons the join ("no match for key field", see
+    # test_minhash_chained_join_regression); repartition rebuilds
+    # uniform-schema blocks.
     pairs = pairs.repartition(n_parts).materialize()
 
     # distinct candidate ids (bounded by 2 x pairs, usually << corpus)
@@ -419,12 +491,6 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         "cid").map_groups(distinct_ids, batch_format="pandas").materialize()
     n_cand = cand_ids.count()
 
-    # fetch candidate texts: the ONLY exchange text ever enters, bounded by
-    # the candidate count
-    cand = texts.map_batches(
-        lambda b: pa.table({"cid": pc.cast(b[id_column], pa.string()),
-                            text_column: b[text_column]}),
-        batch_format="pyarrow")
     if n_cand <= broadcast_limit:
         vals = [r["cid"] for r in cand_ids.take(n_cand)]
         ids_ref = ray.put(pa.array(vals, type=pa.string()))
@@ -455,33 +521,9 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                  on=("id_b",), right_on=("cid",))
 
     def verify(b: pa.Table) -> pa.Table:
-        cache: dict = {}
-
-        def sh(i, txt):
-            v = cache.get(i)
-            if v is None:
-                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
-                cache[i] = v
-            return v
-
-        rows = []
-        for ia, ib, ta, tb in zip(b["id_a"].to_pylist(),
-                                  b["id_b"].to_pylist(),
-                                  b["_text_a"].to_pylist(),
-                                  b[text_column].to_pylist()):
-            sa, sb = sh(ia, ta), sh(ib, tb)
-            if not sa and not sb:
-                jac = 1.0
-            elif not sa or not sb:
-                jac = 0.0
-            else:
-                jac = len(sa & sb) / len(sa | sb)
-            if jac >= threshold:
-                rows.append((ia, ib, round(jac, 4)))
-        return pa.table({
-            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
-            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
-            "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
+        return _verify_rows(b["id_a"].to_pylist(), b["id_b"].to_pylist(),
+                            b["_text_a"].to_pylist(),
+                            b[text_column].to_pylist())
 
     return jb.map_batches(verify, batch_format="pyarrow")
 

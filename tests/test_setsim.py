@@ -138,9 +138,14 @@ def test_minhash_chained_join_regression(ray_session):
     ds = rd.from_arrow(pa.table({
         "doc_id": pa.array(list(range(120)), type=pa.int64()),
         "text": pa.array(texts, type=pa.string())}))
-    got = minhash_dup_pairs(ds, "text", "doc_id", threshold=0.5).take_all()
+    # text_broadcast_limit=0 forces the join path (the default fast path
+    # broadcasts candidate texts and never touches the joins)
+    got = minhash_dup_pairs(ds, "text", "doc_id", threshold=0.5,
+                            text_broadcast_limit=0).take_all()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == \
         [("0", "100", 1.0)]
+    fast = minhash_dup_pairs(ds, "text", "doc_id", threshold=0.5).take_all()
+    assert fast == got
 
 
 def test_synth_documents_deterministic_and_planted():
