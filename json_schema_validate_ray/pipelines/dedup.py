@@ -304,6 +304,131 @@ def jaccard(a: str, b: str, n_shingle: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _verify_candidate_pairs(pairs, texts, id_column: str,
+                            text_column: str, row_verifier, empty: pa.Table,
+                            text_broadcast_limit: int = 100_000,
+                            broadcast_limit: int = BROADCAST_KEY_LIMIT):
+    """Fetch the texts of every candidate-pair member and verify each pair —
+    the shared tail of the near-dup joins (MinHash, exact Jaccard,
+    containment).  ``pairs`` is a MATERIALIZED (id_a, id_b) string dataset;
+    ``row_verifier(ias, ibs, tas, tbs) -> pa.Table`` computes the metric
+    and filters.  Three regimes, all bounded by the CANDIDATE count (the
+    corpus never enters an exchange):
+
+    * pairs x 2 <= ``text_broadcast_limit``: candidate ids collected on the
+      driver, candidate texts broadcast once (``ray.put``), pairs verified
+      in a single streaming pass — no joins (their ~5 s of fixed stage
+      overhead dominates tiny inputs).
+    * candidates <= ``broadcast_limit``: candidate-id broadcast filter
+      narrows the text table, two hash joins attach text_a/text_b.
+    * above: distributed join narrows the text table instead.
+
+    The repartitions around the joins are load-bearing: map_groups
+    partitions that received no groups emit ZERO-COLUMN empty blocks, and
+    Ray 2.49's hash-shuffle join broadcasts the FIRST block's schema to
+    empty partitions — a zero-column first block poisons the join
+    ("no match for key field", test_minhash_chained_join_regression)."""
+    import ray
+    import ray.data as rd
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(empty)
+    n_parts = max(2, _default_concurrency())
+
+    cand = texts.map_batches(
+        lambda b: pa.table({"cid": pc.cast(b[id_column], pa.string()),
+                            text_column: b[text_column]}),
+        batch_format="pyarrow")
+
+    # candidate-id set: trivially bounded by 2 x pairs; when pairs are
+    # dense (many pairs over few docs) the DISTINCT id count is far
+    # smaller, so compute it distributedly before deciding the regime
+    if n_pairs * 2 <= text_broadcast_limit:
+        ids_set = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            ids_set.update(b["id_a"].to_pylist())
+            ids_set.update(b["id_b"].to_pylist())
+        id_filter = pa.array(sorted(ids_set), type=pa.string())
+        cand_ids, n_cand = None, len(ids_set)
+    else:
+        def local_ids(b: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([b["id_a"].combine_chunks(),
+                                     b["id_b"].combine_chunks()])
+            return pa.table({"cid": pc.unique(both)})
+
+        def distinct_ids(g):
+            return pa.table({"cid": pa.array(g["cid"].drop_duplicates(),
+                                             type=pa.string())})
+
+        cand_ids = _group_by_key_buckets(
+            pairs.map_batches(local_ids, batch_format="pyarrow"),
+            "cid").map_groups(distinct_ids,
+                              batch_format="pandas").materialize()
+        n_cand = cand_ids.count()
+        id_filter = None
+
+    if n_cand <= text_broadcast_limit:
+        # broadcast-verify fast path: candidate texts fit in one object —
+        # verify pairs in a single streaming pass, no joins (their ~5 s of
+        # fixed stage overhead dominates small-to-medium candidate sets)
+        if id_filter is None:
+            id_filter = pa.array(
+                sorted(r["cid"] for r in cand_ids.take(n_cand)),
+                type=pa.string())
+        tbl = pa.concat_tables(
+            [pa.table({"cid": b["cid"], text_column: b[text_column]})
+             for b in cand.map_batches(
+                 lambda b: b.filter(pc.is_in(b["cid"],
+                                             value_set=id_filter)),
+                 batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow")]).combine_chunks()
+        tbl_ref = ray.put(tbl)
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            t = ray.get(tbl_ref)
+            ia = pc.index_in(b["id_a"], value_set=t["cid"])
+            ib = pc.index_in(b["id_b"], value_set=t["cid"])
+            tas = pc.take(t[text_column], ia).to_pylist()
+            tbs = pc.take(t[text_column], ib).to_pylist()
+            return row_verifier(b["id_a"].to_pylist(),
+                                b["id_b"].to_pylist(), tas, tbs)
+
+        return pairs.map_batches(verify_bcast, batch_format="pyarrow")
+
+    pairs = pairs.repartition(n_parts).materialize()
+
+    if n_cand <= broadcast_limit:
+        vals = [r["cid"] for r in cand_ids.take(n_cand)]
+        ids_ref = ray.put(pa.array(vals, type=pa.string()))
+        cand = cand.map_batches(
+            lambda b: b.filter(pc.is_in(b["cid"],
+                                        value_set=ray.get(ids_ref))),
+            batch_format="pyarrow")
+    else:
+        cand = cand.join(cand_ids, join_type="inner",
+                         num_partitions=n_parts, on=("cid",))
+    # consumed by both verify joins; repartition for schema uniformity
+    cand = cand.materialize().repartition(n_parts).materialize()
+
+    ja = pairs.join(cand, join_type="inner", num_partitions=n_parts,
+                    on=("id_a",), right_on=("cid",))
+    ja = ja.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "_text_a": b[text_column]}),
+        batch_format="pyarrow")
+    ja = ja.repartition(n_parts)
+    jb = ja.join(cand, join_type="inner", num_partitions=n_parts,
+                 on=("id_b",), right_on=("cid",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        return row_verifier(b["id_a"].to_pylist(), b["id_b"].to_pylist(),
+                            b["_text_a"].to_pylist(),
+                            b[text_column].to_pylist())
+
+    return jb.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                       threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16, n_shingle: int = 3,
@@ -390,25 +515,11 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             "id_b": pa.array(g["id_b"], type=pa.string())})
 
     # materialized: consumed by the pair count, the candidate-id pass and
-    # the verify stage.  n_parts follows the cluster size (NOT a fixed
-    # floor): the two verify joins run concurrently in one streaming
-    # execution, and each join's aggregator pool reserves 0.125 CPU x
-    # partitions — a fixed 16-partition floor on a 4-CPU test session pins
-    # 4 CPUs in actors and deadlocks the pipeline (the shuffle tasks
-    # feeding them need 1 CPU each).
-    n_parts = max(2, _default_concurrency())
+    # the verify stage.  n_parts inside the helper follows the cluster size
+    # (a fixed 16-partition floor deadlocked a 4-CPU session: two
+    # concurrent join aggregator pools pinned every CPU).
     pairs = _group_by_key_buckets(cands, "id_a").map_groups(
         dedup_bucket, batch_format="pandas").materialize()
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return rd.from_arrow(empty)
-
-    # fetch candidate texts: the ONLY exchange text ever enters, bounded by
-    # the candidate count
-    cand = texts.map_batches(
-        lambda b: pa.table({"cid": pc.cast(b[id_column], pa.string()),
-                            text_column: b[text_column]}),
-        batch_format="pyarrow")
 
     def _verify_rows(ias, ibs, tas, tbs):
         cache: dict = {}
@@ -436,96 +547,9 @@ def minhash_dup_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             "id_b": pa.array([r[1] for r in rows], type=pa.string()),
             "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
 
-    if n_pairs * 2 <= text_broadcast_limit:
-        # small-candidate fast path: the candidate ids (<= 2 x pairs) fit on
-        # the driver, so broadcast the candidate texts ONCE and verify pairs
-        # in a single streaming pass — the join plumbing below costs ~5 s of
-        # fixed stage overhead (distinct-id groupby + two hash joins + the
-        # schema-healing repartitions) that tiny inputs never amortize
-        ids_set = set()
-        for b in pairs.iter_batches(batch_format="pyarrow"):
-            ids_set.update(b["id_a"].to_pylist())
-            ids_set.update(b["id_b"].to_pylist())
-        id_filter = pa.array(sorted(ids_set), type=pa.string())
-        tbl = pa.concat_tables(
-            [pa.table({"cid": b["cid"], text_column: b[text_column]})
-             for b in cand.map_batches(
-                 lambda b: b.filter(pc.is_in(b["cid"],
-                                             value_set=id_filter)),
-                 batch_format="pyarrow").iter_batches(
-                     batch_format="pyarrow")]).combine_chunks()
-        tbl_ref = ray.put(tbl)
-
-        def verify_bcast(b: pa.Table) -> pa.Table:
-            t = ray.get(tbl_ref)
-            ia = pc.index_in(b["id_a"], value_set=t["cid"])
-            ib = pc.index_in(b["id_b"], value_set=t["cid"])
-            tas = pc.take(t[text_column], ia).to_pylist()
-            tbs = pc.take(t[text_column], ib).to_pylist()
-            return _verify_rows(b["id_a"].to_pylist(),
-                                b["id_b"].to_pylist(), tas, tbs)
-
-        return pairs.map_batches(verify_bcast, batch_format="pyarrow")
-
-    # JOIN path (candidates above the broadcast bar).  The repartition is
-    # load-bearing: map_groups partitions that received no groups emit
-    # ZERO-COLUMN empty blocks, and Ray 2.49's hash-shuffle join broadcasts
-    # the FIRST block's schema to empty partitions — a zero-column first
-    # block poisons the join ("no match for key field", see
-    # test_minhash_chained_join_regression); repartition rebuilds
-    # uniform-schema blocks.
-    pairs = pairs.repartition(n_parts).materialize()
-
-    # distinct candidate ids (bounded by 2 x pairs, usually << corpus)
-    def local_ids(b: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([b["id_a"].combine_chunks(),
-                                 b["id_b"].combine_chunks()])
-        return pa.table({"cid": pc.unique(both)})
-
-    def distinct_ids(g):
-        return pa.table({"cid": pa.array(g["cid"].drop_duplicates(),
-                                         type=pa.string())})
-
-    cand_ids = _group_by_key_buckets(
-        pairs.map_batches(local_ids, batch_format="pyarrow"),
-        "cid").map_groups(distinct_ids, batch_format="pandas").materialize()
-    n_cand = cand_ids.count()
-
-    if n_cand <= broadcast_limit:
-        vals = [r["cid"] for r in cand_ids.take(n_cand)]
-        ids_ref = ray.put(pa.array(vals, type=pa.string()))
-        cand = cand.map_batches(
-            lambda b: b.filter(pc.is_in(b["cid"],
-                                        value_set=ray.get(ids_ref))),
-            batch_format="pyarrow")
-    else:
-        cand = cand.join(cand_ids, join_type="inner",
-                         num_partitions=n_parts, on=("cid",))
-    # consumed by both verify joins; repartition for the same
-    # uniform-schema reason as `pairs` above
-    cand = cand.materialize().repartition(n_parts).materialize()
-
-    ja = pairs.join(cand, join_type="inner", num_partitions=n_parts,
-                    on=("id_a",), right_on=("cid",))
-    ja = ja.map_batches(
-        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                            "_text_a": b[text_column]}),
-        batch_format="pyarrow")
-    # the repartition between the chained joins is load-bearing: Ray 2.49's
-    # hash-shuffle join emits schema-less blocks for empty partitions, and a
-    # SECOND join fed those blocks dies in the aggregator with ArrowInvalid
-    # ("no match for key field on left side"); reshaping the blocks restores
-    # a uniform schema (verified by test_minhash_chained_join_regression)
-    ja = ja.repartition(n_parts)
-    jb = ja.join(cand, join_type="inner", num_partitions=n_parts,
-                 on=("id_b",), right_on=("cid",))
-
-    def verify(b: pa.Table) -> pa.Table:
-        return _verify_rows(b["id_a"].to_pylist(), b["id_b"].to_pylist(),
-                            b["_text_a"].to_pylist(),
-                            b[text_column].to_pylist())
-
-    return jb.map_batches(verify, batch_format="pyarrow")
+    return _verify_candidate_pairs(pairs, texts, id_column, text_column,
+                                   _verify_rows, empty,
+                                   text_broadcast_limit, broadcast_limit)
 
 
 # ---------------------------------------------------------------------------
@@ -557,69 +581,141 @@ def _distinct_shingles_per_row(texts, n_shingle: int):
 def _emit_shingle_keys(b: pa.Table, id_column: str, text_column: str,
                        n_shingle: int, threshold: float,
                        emit_all: bool = False) -> pa.Table:
-    """One row per (shingle key, doc): the PREFIX-FILTER emission.  With
-    Jaccard threshold t, a doc with |S| distinct shingles emits its
+    """One SKINNY row per (shingle key, doc): the prefix-filter emission —
+    (pkey, id, n_sh) only, no text payload (texts are fetched later for
+    candidate PAIRS, the same shape as minhash_dup_pairs).  With Jaccard
+    threshold t a doc with |S| distinct shingles emits its
     |S| - ceil(t*|S|) + 1 smallest hashes (Chaudhuri/Bayardo prefix
     filtering: two sets with J >= t must share a prefix element, so
-    grouping by emitted key loses NO qualifying pair).  ``emit_all``
-    emits every distinct shingle (the index side of the containment
-    join).  Text rides along for in-bucket verification, exactly like
-    the MinHash verify stage."""
+    grouping by emitted key loses NO qualifying pair); ``emit_all`` emits
+    every distinct shingle (the index side of the containment join)."""
     df_, dr, dL = _distinct_shingles_per_row(b[text_column], n_shingle)
+    idt = b.schema.field(id_column).type
     if len(df_) == 0:
-        idt = b.schema.field(id_column).type
         return pa.table({
             "pkey": pa.array([], type=pa.int64()),
             id_column: pa.array([], type=idt),
-            text_column: pa.array([], type=pa.string()),
             "n_sh": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
         })
+    starts = np.concatenate([[0], np.cumsum(dL)[:-1]])
+    pos = np.arange(len(df_), dtype=np.int64) - np.repeat(starts, dL)
     if emit_all:
         keep = np.ones(len(df_), dtype=bool)
     else:
-        starts = np.concatenate([[0], np.cumsum(dL)[:-1]])
-        pos = np.arange(len(df_), dtype=np.int64) - np.repeat(starts, dL)
         plen = dL - np.ceil(threshold * dL).astype(np.int64) + 1
         keep = pos < np.repeat(plen, dL)
-    pk, pr = df_[keep], dr[keep]
+    pk, pr, pp = df_[keep], dr[keep], pos[keep]
     idx = pa.array(pr, type=pa.int64())
-    ids = pc.take(b[id_column], idx)
-    txt = pc.take(b[text_column], idx)
     return pa.table({
         "pkey": pa.array(pk.view(np.int64), type=pa.int64()),
-        id_column: ids,
-        text_column: txt,
+        id_column: pc.take(b[id_column], idx),
         "n_sh": pa.array(dL[pr], type=pa.int64()),
+        # position of this shingle in the doc's ASCENDING distinct-hash
+        # order — the PPJoin positional filter's input
+        "pos": pa.array(pp, type=pa.int64()),
     })
+
+
+def _jaccard_verifier(threshold: float, n_shingle: int):
+    """row_verifier computing exact-int jaccard_1e6 over distinct shingle
+    sets recomputed from the fetched texts (empty docs never reach here —
+    they emit no keys)."""
+    def vr(ias, ibs, tas, tbs):
+        cache: dict = {}
+
+        def sh(i, txt):
+            v = cache.get(i)
+            if v is None:
+                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
+                cache[i] = v
+            return v
+
+        rows = []
+        for ia, ib, ta, tb in zip(ias, ibs, tas, tbs):
+            sa, sb = sh(ia, ta), sh(ib, tb)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                rows.append((ia, ib, int(np.floor(jac * 1e6 + 0.5))))
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "jaccard_1e6": pa.array([r[2] for r in rows], type=pa.int64())})
+    return vr
+
+
+def _containment_verifier(threshold: float, n_shingle: int):
+    """row_verifier computing containment_1e6 = |A∩B| / |A| with A = the
+    id_a side (pair emission already ordered each pair smaller-set
+    first)."""
+    def vr(ias, ibs, tas, tbs):
+        cache: dict = {}
+
+        def sh(i, txt):
+            v = cache.get(i)
+            if v is None:
+                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
+                cache[i] = v
+            return v
+
+        rows = []
+        for ia, ib, ta, tb in zip(ias, ibs, tas, tbs):
+            sa, sb = sh(ia, ta), sh(ib, tb)
+            if not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                rows.append((ia, ib, int(np.floor(c * 1e6 + 0.5))))
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "containment_1e6": pa.array([r[2] for r in rows],
+                                        type=pa.int64())})
+    return vr
+
+
+def _dedup_pairs(cands):
+    """Global (id_a, id_b) dedup via the id_a coarse bucket, materialized
+    for the shared verify tail."""
+    def dedup_bucket(g):
+        g = g.drop_duplicates(["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(g["id_a"], type=pa.string()),
+            "id_b": pa.array(g["id_b"], type=pa.string())})
+
+    return _group_by_key_buckets(cands, "id_a").map_groups(
+        dedup_bucket, batch_format="pandas").materialize()
 
 
 def ngram_jaccard_pairs(ds, text_column: str = "text",
                         id_column: str = "doc_id", threshold: float = 0.5,
-                        n_shingle: int = 3):
+                        n_shingle: int = 3,
+                        text_broadcast_limit: int = 100_000):
     """EXACT n-gram Jaccard self-join: every unordered pair of non-empty
     documents whose distinct word-``n_shingle``-gram sets have Jaccard >=
     ``threshold`` — deterministic completeness, unlike the MinHash+LSH
     pipeline (whose recall is probabilistic).  Classic prefix filtering
     (All-Pairs/PPJoin): each doc emits its |S|-ceil(t|S|)+1 smallest
-    shingle hashes as keys; any qualifying pair is guaranteed to meet in
-    >=1 key group, where it is verified by exact set intersection.  Scale
-    shape mirrors the MinHash verify stage: singleton keys are pruned
-    BEFORE the text payload shuffles (crowdedness counted on a key-only
-    projection), the reduce is coarse-bucketed, and a pair surfacing under
-    several keys is verified once per bucket and deduped after.  Scores are
-    exact-int ``jaccard_1e6`` = floor(J*1e6 + 0.5) for bit-parity."""
-    from ..stages.text import _token_hashes
-
+    shingle hashes as SKINNY (pkey, id, n_sh) keys; any qualifying pair
+    meets in >=1 key group.  Candidate pairs are emitted id-only from the
+    coarse-bucketed groups, deduped, and verified by exact set
+    intersection over texts fetched for candidate docs only (the shared
+    _verify_candidate_pairs tail) — text never enters a key exchange.
+    Scores are exact-int ``jaccard_1e6`` = floor(J*1e6 + 0.5)."""
     try:
         n_docs = ds.count()
     except Exception:
         n_docs = 0
     texts = ds.map_batches(lambda b: b.select([id_column, text_column]),
                            batch_format="pyarrow")
+    # materialized: the crowded-key count and the prune filter both
+    # consume the emission; pinning the skinny keys runs shingling once
     emitted = texts.repartition(_sig_partitions(ds)).map_batches(
         lambda b: _emit_shingle_keys(b, id_column, text_column, n_shingle,
                                      threshold),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     crowded = _semi_join_crowded(
         emitted, "pkey",
         key_rows=emitted.map_batches(lambda b: b.select(["pkey"]),
@@ -631,77 +727,72 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
         import ray.data as rd
         return rd.from_arrow(empty)
 
-    def verify_bucket(g):
-        shingles: dict = {}
-        seen: set = set()
-        rows = []
-
-        def sh(i, txt):
-            v = shingles.get(i)
-            if v is None:
-                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
-                shingles[i] = v
-            return v
-
+    def emit_pairs(g):
+        """Vectorized candidate-pair emission with the PPJoin length and
+        positional filters (Xiao et al. 2008): without them a dense-vocab
+        corpus (where every shingle is shared by dozens of docs) emits a
+        near-quadratic candidate set; the positional filter keeps only
+        meets whose overlap UPPER BOUND 1 + min(|A|-pa, |B|-pb) can still
+        reach the J >= t overlap requirement ceil(t/(1+t)(|A|+|B|)), so a
+        true pair survives only from its EARLY shared shingles."""
+        import pandas as pd
+        out_a, out_b = [], []
         for _, grp in g.groupby("pkey", sort=False):
-            if len(grp) < 2:
+            k = len(grp)
+            if k < 2:
                 continue
             grp = grp.sort_values(id_column)
-            ids = grp[id_column].tolist()
-            labels = grp[id_column].astype(str).tolist()
-            txts = grp[text_column].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    key = (labels[i], labels[j])
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    sa, sb = sh(labels[i], txts[i]), sh(labels[j], txts[j])
-                    if not sa or not sb:
-                        continue
-                    jac = len(sa & sb) / len(sa | sb)
-                    if jac >= threshold:
-                        rows.append((labels[i], labels[j],
-                                     int(np.floor(jac * 1e6 + 0.5))))
+            labels = grp[id_column].astype(str).to_numpy()
+            ns = grp["n_sh"].to_numpy()
+            ps = grp["pos"].to_numpy()
+            iu, ju = np.triu_indices(k, 1)
+            na, nb = ns[iu], ns[ju]
+            ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+            ub = 1 + np.minimum(na - ps[iu], nb - ps[ju])
+            need = np.ceil((threshold / (1.0 + threshold)) * (na + nb))
+            ok &= ub >= need
+            ok &= labels[iu] != labels[ju]
+            out_a.append(labels[iu][ok])
+            out_b.append(labels[ju][ok])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string())})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                           "id_b": np.concatenate(out_b)})
+        df = df.drop_duplicates(["id_a", "id_b"])
         return pa.table({
-            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
-            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
-            "jaccard_1e6": pa.array([r[2] for r in rows], type=pa.int64())})
+            "id_a": pa.array(df["id_a"], type=pa.string()),
+            "id_b": pa.array(df["id_b"], type=pa.string())})
 
-    pairs = _group_by_key_buckets(
+    cands = _group_by_key_buckets(
         crowded, "pkey", rows_estimate=n_docs * 24 or None).map_groups(
-        verify_bucket, batch_format="pandas")
-
-    def dedup_bucket(g):
-        g = g.drop_duplicates(["id_a", "id_b"])
-        return pa.table({
-            "id_a": pa.array(g["id_a"], type=pa.string()),
-            "id_b": pa.array(g["id_b"], type=pa.string()),
-            "jaccard_1e6": pa.array(g["jaccard_1e6"], type=pa.int64())})
-
-    return _group_by_key_buckets(pairs, "id_a").map_groups(
-        dedup_bucket, batch_format="pandas")
+        emit_pairs, batch_format="pandas")
+    pairs = _dedup_pairs(cands)
+    return _verify_candidate_pairs(
+        pairs, texts, id_column, text_column,
+        _jaccard_verifier(threshold, n_shingle), empty,
+        text_broadcast_limit)
 
 
 def containment_pairs(ds, text_column: str = "text",
                       id_column: str = "doc_id", threshold: float = 0.8,
-                      n_shingle: int = 3, df_cap: int | None = None):
+                      n_shingle: int = 3, df_cap: int | None = None,
+                      text_broadcast_limit: int = 100_000):
     """EXACT shingle-containment self-join: pairs (A, B) with
     |A∩B| / |A| >= ``threshold`` where A is the smaller distinct-shingle
     set (ties broken by id) — finds documents substantially CONTAINED in
     others (quote inflation, wrapper boilerplate), which Jaccard misses
     when |B| >> |A|.  Asymmetric indexing: the probe side emits A's
     floor((1-t)|A|)+1 smallest shingles (if every prefix element were
-    outside B, more than (1-t)|A| of A would be outside B — contradiction,
-    so a qualifying pair always meets), the index side emits ALL distinct
-    shingles.  Index fan-out is the scale cost; ``df_cap`` (optional)
-    drops shingles hotter than the cap from the index — the documented
-    stop-shingle approximation for boilerplate-heavy corpora; None (the
-    default and the oracle mode) is exact."""
-    from ..stages.text import _token_hashes
-
+    outside B, more than (1-t)|A| of A would be outside B —
+    contradiction, so a qualifying pair always meets), the index side
+    emits ALL distinct shingles.  Both emissions are SKINNY (pkey, id,
+    n_sh, role) — candidate pairs leave the key groups id-only and texts
+    are fetched for candidates only (shared _verify_candidate_pairs).
+    Index fan-out is the scale cost; ``df_cap`` (optional) drops shingles
+    hotter than the cap from the index — the documented stop-shingle
+    approximation for boilerplate-heavy corpora; None (the default and
+    the oracle mode) is exact."""
     try:
         n_docs = ds.count()
     except Exception:
@@ -719,8 +810,10 @@ def containment_pairs(ds, text_column: str = "text",
         yield idx.append_column(
             "role", pa.array(np.ones(idx.num_rows, dtype=np.int8)))
 
+    # materialized: consumed by the optional df-cap count, the crowded-key
+    # count and the prune filter
     emitted = texts.repartition(_sig_partitions(ds)).map_batches(
-        emit_both, batch_format="pyarrow")
+        emit_both, batch_format="pyarrow").materialize()
     if df_cap is not None:
         # stop-shingle cap: count index-side df per key once (key-only
         # projection), broadcast the hot-key set, drop those index rows
@@ -750,59 +843,51 @@ def containment_pairs(ds, text_column: str = "text",
         import ray.data as rd
         return rd.from_arrow(empty)
 
-    def verify_bucket(g):
-        shingles: dict = {}
-        seen: set = set()
-        rows = []
-
-        def sh(i, txt):
-            v = shingles.get(i)
-            if v is None:
-                v = frozenset(_token_hashes(txt or "", n_shingle).tolist())
-                shingles[i] = v
-            return v
-
+    def emit_pairs(g):
+        """Vectorized probe x index pairing with the containment length
+        ordering and positional filter: overlap upper bound
+        1 + min(|A|-pa, |B|-pb) must reach ceil(t*|A|)."""
+        import pandas as pd
+        out_a, out_b = [], []
         for _, grp in g.groupby("pkey", sort=False):
-            pr = grp[grp["role"] == 0]
+            prb = grp[grp["role"] == 0]
             ix = grp[grp["role"] == 1]
-            if len(pr) == 0 or len(ix) == 0:
+            if len(prb) == 0 or len(ix) == 0:
                 continue
-            for ia, ta, na in zip(pr[id_column], pr[text_column], pr["n_sh"]):
-                for ib, tb, nb in zip(ix[id_column], ix[text_column],
-                                      ix["n_sh"]):
-                    if ia == ib or na > nb or (na == nb and ia >= ib):
-                        continue
-                    key = (str(ia), str(ib))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    sa, sb = sh(key[0], ta), sh(key[1], tb)
-                    if not sa:
-                        continue
-                    c = len(sa & sb) / len(sa)
-                    if c >= threshold:
-                        rows.append((key[0], key[1],
-                                     int(np.floor(c * 1e6 + 0.5))))
+            la = prb[id_column].astype(str).to_numpy()
+            lb = ix[id_column].astype(str).to_numpy()
+            ra = prb[id_column].to_numpy()      # RAW ids: ties must follow
+            rb = ix[id_column].to_numpy()       # the input id order (SQL)
+            na = prb["n_sh"].to_numpy()
+            nb = ix["n_sh"].to_numpy()
+            pa_ = prb["pos"].to_numpy()
+            pb_ = ix["pos"].to_numpy()
+            ii = np.repeat(np.arange(len(la)), len(lb))
+            jj = np.tile(np.arange(len(lb)), len(la))
+            ok = (na[ii] < nb[jj]) | ((na[ii] == nb[jj])
+                                      & (ra[ii] < rb[jj]))
+            ub = 1 + np.minimum(na[ii] - pa_[ii], nb[jj] - pb_[jj])
+            ok &= ub >= np.ceil(threshold * na[ii])
+            out_a.append(la[ii][ok])
+            out_b.append(lb[jj][ok])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string())})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                           "id_b": np.concatenate(out_b)})
+        df = df.drop_duplicates(["id_a", "id_b"])
         return pa.table({
-            "id_a": pa.array([r[0] for r in rows], type=pa.string()),
-            "id_b": pa.array([r[1] for r in rows], type=pa.string()),
-            "containment_1e6": pa.array([r[2] for r in rows],
-                                        type=pa.int64())})
+            "id_a": pa.array(df["id_a"], type=pa.string()),
+            "id_b": pa.array(df["id_b"], type=pa.string())})
 
-    pairs = _group_by_key_buckets(
+    cands = _group_by_key_buckets(
         crowded, "pkey", rows_estimate=n_docs * 48 or None).map_groups(
-        verify_bucket, batch_format="pandas")
-
-    def dedup_bucket(g):
-        g = g.drop_duplicates(["id_a", "id_b"])
-        return pa.table({
-            "id_a": pa.array(g["id_a"], type=pa.string()),
-            "id_b": pa.array(g["id_b"], type=pa.string()),
-            "containment_1e6": pa.array(g["containment_1e6"],
-                                        type=pa.int64())})
-
-    return _group_by_key_buckets(pairs, "id_a").map_groups(
-        dedup_bucket, batch_format="pandas")
+        emit_pairs, batch_format="pandas")
+    pairs = _dedup_pairs(cands)
+    return _verify_candidate_pairs(
+        pairs, texts, id_column, text_column,
+        _containment_verifier(threshold, n_shingle), empty,
+        text_broadcast_limit)
 
 
 # ---------------------------------------------------------------------------
