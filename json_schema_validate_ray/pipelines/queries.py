@@ -2772,6 +2772,332 @@ CROSS JOIN ut CROSS JOIN bt
 """
 
 
+_BAND_SQL = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+             "AS BIGINT) % 100")
+_BUDGETS = {"en": 5000, "zh": 3000}
+_DEFAULT_BUDGET = 2000
+
+
+def q_token_budget_mix(sf_dir: str):
+    """Token-BUDGET-driven mixing (DoReMi-style reweighting quantized to
+    the content-addressed percent band): per language, derive the keep
+    rate ceil(100*budget/total_tokens) (capped at 100) from the corpus's
+    actual token mass, then apply the deterministic md5 band — so the kept
+    token mass approximates the budget while staying reproducible and
+    resume-friendly.  All arithmetic integer (ceil as (100*b+t-1)//t).
+    One combiner scan for per-lang token totals, one streaming filter
+    pass; the per-lang summary is exact int64."""
+    from ..stages.banding import band_values
+    from ..stages.text import TokenCounter
+    from ..stages.taskcache import cached_stage
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+    counted = ds.repartition(_parts_for(ds)).map_batches(
+        cached_stage(TokenCounter, text_column="text"),
+        batch_format="pyarrow").materialize()
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                          "n": b["n_tokens"].to_pandas()})
+        out = g.groupby("lang", sort=False)["n"].sum().reset_index()
+        return pa.table({"lang": pa.array(out["lang"], type=pa.string()),
+                         "n": pa.array(out["n"], type=pa.int64())})
+
+    totals: dict = {}
+    for r in counted.map_batches(tot_partial,
+                                 batch_format="pyarrow").take_all():
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["n"]
+    pcts = {lang: min(100, (100 * _BUDGETS.get(lang, _DEFAULT_BUDGET)
+                            + tot - 1) // tot)
+            for lang, tot in totals.items() if tot > 0}
+
+    def summary(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        band = band_values(b["doc_id"], mode="md5")   # numpy int64
+        langs = b["lang"].to_pylist()
+        rr = np.fromiter((pcts.get(l, 100) for l in langs), dtype=np.int64,
+                         count=len(langs))
+        kept = band < rr
+        g = pd.DataFrame({"lang": langs,
+                          "n": b["n_tokens"].to_pandas(), "kept": kept})
+        out = g.groupby("lang", sort=False).agg(
+            total_tokens=("n", "sum"), kept_docs=("kept", "sum"),
+            kept_tokens=("n", lambda s: int(s[g.loc[s.index, "kept"]].sum())))
+        out = out.reset_index()
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "total_tokens": pa.array(out["total_tokens"].astype("int64"),
+                                     type=pa.int64()),
+            "kept_docs": pa.array(out["kept_docs"].astype("int64"),
+                                  type=pa.int64()),
+            "kept_tokens": pa.array(out["kept_tokens"].astype("int64"),
+                                    type=pa.int64()),
+        })
+
+    parts = counted.map_batches(summary, batch_format="pyarrow").take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts).groupby("lang", as_index=False).sum()
+    df = df.sort_values("lang")
+    return pa.table({
+        "lang": pa.array(df["lang"], type=pa.string()),
+        "total_tokens": pa.array(df["total_tokens"], type=pa.int64()),
+        "keep_pct": pa.array([int(pcts[l]) for l in df["lang"]],
+                             type=pa.int64()),
+        "kept_docs": pa.array(df["kept_docs"], type=pa.int64()),
+        "kept_tokens": pa.array(df["kept_tokens"], type=pa.int64()),
+    })
+
+
+SQL_TOKEN_BUDGET_MIX = f"""
+WITH tc AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
+         {_BAND_SQL} AS band
+  FROM documents
+),
+tot AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM tc
+  GROUP BY lang
+),
+pct AS (
+  SELECT lang, total_tokens,
+         LEAST(100, (100 * (CASE lang WHEN 'en' THEN {_BUDGETS['en']}
+                                      WHEN 'zh' THEN {_BUDGETS['zh']}
+                                      ELSE {_DEFAULT_BUDGET} END)
+                     + total_tokens - 1) // total_tokens) AS keep_pct
+  FROM tot WHERE total_tokens > 0
+)
+SELECT p.lang, p.total_tokens, CAST(p.keep_pct AS BIGINT) AS keep_pct,
+       CAST(SUM(CASE WHEN tc.band < p.keep_pct THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN tc.band < p.keep_pct THEN tc.n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM tc JOIN pct p ON tc.lang = p.lang
+GROUP BY p.lang, p.total_tokens, p.keep_pct
+"""
+
+
+def q_boilerplate_ngrams(sf_dir: str):
+    """Boilerplate detector: the 20 most widespread word-5-grams by
+    DOCUMENT frequency (distinct docs containing the gram, df >= 2) — the
+    standard signal for template/boilerplate contamination.  Grams are
+    built vectorized from the flat token stream (4 shifted binary_join
+    slices + a row-boundary mask); (doc, gram) pairs are deduped WITHIN
+    the row before counting, so the partials are already df partials; one
+    coarse-bucket merge bounds the shuffle by distinct grams, and the
+    driver only sees per-bucket top-k heads."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    n = 5
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        blank = pc.fill_null(pc.equal(trimmed, ""), True) \
+            .to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ~blank[parent]
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        if len(flat) < n:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        w = len(flat) - n + 1
+        parts = [flat.slice(j, w) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        valid = parent[:w] == parent[n - 1:]
+        g = pd.DataFrame({"doc": parent[:w][valid],
+                          "gram": grams.filter(pa.array(valid)).to_pylist()})
+        g = g.drop_duplicates(["doc", "gram"])
+        out = g.groupby("gram", sort=False).size().reset_index(name="df")
+        return pa.table({"gram": pa.array(out["gram"], type=pa.string()),
+                         "df": pa.array(out["df"], type=pa.int64())})
+
+    def merge(g):
+        out = g.groupby("gram", sort=False)["df"].sum().reset_index()
+        out = out[out["df"] >= 2]
+        out = out.sort_values(["df", "gram"],
+                              ascending=[False, True]).head(20)
+        return pa.table({"gram": pa.array(out["gram"], type=pa.string()),
+                         "df": pa.array(out["df"], type=pa.int64())})
+
+    heads = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "gram").map_groups(
+        merge, batch_format="pandas").take_all()
+    heads.sort(key=lambda r: (-r["df"], r["gram"]))
+    top = heads[:20]
+    return pa.table({
+        "gram": pa.array([r["gram"] for r in top], type=pa.string()),
+        "df": pa.array([r["df"] for r in top], type=pa.int64()),
+    })
+
+
+SQL_BOILERPLATE_NGRAMS = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(toks) - 3),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                            toks[i+4])) END) AS gram
+  FROM d
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM g)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+FROM dg GROUP BY gram HAVING COUNT(*) >= 2
+ORDER BY df DESC, gram LIMIT 20
+"""
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-ingestion dedup: treat the md5 band >= 80 slice as the
+    INCOMING batch and the band < 80 slice as the EXISTING corpus; drop
+    incoming docs whose exact content hash already exists.  The existing
+    side reduces to a distinct-fingerprint set (combiner + bucket
+    distinct) broadcast once; the incoming pass is one streaming filter —
+    the ingestion-time shape of exact dedup (nothing rescans or shuffles
+    the existing corpus beyond its fingerprint projection).  One-row
+    exact summary."""
+    from ..stages.banding import band_values
+    from .dedup import _fingerprint_batch, _group_by_key_buckets
+    import ray
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        band = band_values(b["doc_id"], mode="md5")   # numpy int64
+        fp = _fingerprint_batch(b, "text", "doc_id")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "fingerprint": fp["fingerprint"],
+            "incoming": pa.array(band >= 80),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def exist_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(b["incoming"]))
+        vc = t["fingerprint"].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"fingerprint": vc.field("values")})
+
+    def distinct(g):
+        import pandas as pd
+        return pa.table({"fingerprint": pa.array(
+            g["fingerprint"].drop_duplicates(), type=pa.string())})
+
+    existing = _group_by_key_buckets(
+        tagged.map_batches(exist_partial, batch_format="pyarrow"),
+        "fingerprint").map_groups(distinct,
+                                  batch_format="pandas").materialize()
+    n_existing_fp = existing.count()
+    fps = pa.concat_tables(
+        [pa.table({"fingerprint": b["fingerprint"]}) for b in
+         existing.iter_batches(batch_format="pyarrow")])["fingerprint"]
+    fp_ref = ray.put(fps.combine_chunks())
+
+    def counts(b: pa.Table) -> pa.Table:
+        inc = b.filter(b["incoming"])
+        dup = pc.is_in(inc["fingerprint"], value_set=ray.get(fp_ref))
+        n_dup = int(pc.sum(pc.cast(dup, pa.int64())).as_py() or 0)
+        return pa.table({
+            "n_existing": pa.array([b.num_rows - inc.num_rows],
+                                   type=pa.int64()),
+            "n_incoming": pa.array([inc.num_rows], type=pa.int64()),
+            "n_dup_incoming": pa.array([n_dup], type=pa.int64()),
+        })
+
+    rows = tagged.map_batches(counts, batch_format="pyarrow").take_all()
+    n_ex = sum(r["n_existing"] for r in rows)
+    n_in = sum(r["n_incoming"] for r in rows)
+    n_dup = sum(r["n_dup_incoming"] for r in rows)
+    return pa.table({
+        "n_existing": pa.array([n_ex], type=pa.int64()),
+        "n_incoming": pa.array([n_in], type=pa.int64()),
+        "n_dup_incoming": pa.array([n_dup], type=pa.int64()),
+        "n_kept_incoming": pa.array([n_in - n_dup], type=pa.int64()),
+        "n_existing_fingerprints": pa.array([n_existing_fp],
+                                            type=pa.int64()),
+    })
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS fp,
+         ({_BAND_SQL}) >= 80 AS incoming
+  FROM documents
+),
+ex AS (SELECT DISTINCT fp FROM t WHERE NOT incoming)
+SELECT
+  CAST((SELECT COUNT(*) FROM t WHERE NOT incoming) AS BIGINT)
+    AS n_existing,
+  CAST((SELECT COUNT(*) FROM t WHERE incoming) AS BIGINT) AS n_incoming,
+  CAST((SELECT COUNT(*) FROM t WHERE incoming AND fp IN (SELECT fp FROM ex))
+       AS BIGINT) AS n_dup_incoming,
+  CAST((SELECT COUNT(*) FROM t WHERE incoming
+        AND fp NOT IN (SELECT fp FROM ex)) AS BIGINT) AS n_kept_incoming,
+  CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_existing_fingerprints
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no LARGE order (totalprice >
+    300k — the plain never-ordered set is empty in this data, the
+    threshold keeps the anti-join non-trivial).  The order-side distinct
+    custkeys collapse via per-batch value_counts partials + bucket
+    distinct (bounded by distinct customers, not order rows) and
+    broadcast once; the customer pass is one streaming inverted is_in
+    filter — no shuffle of either table."""
+    from .dedup import _group_by_key_buckets
+    import ray
+    rd = _rd()
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        big = b.filter(pc.greater(b["o_totalprice"], 300000.0))
+        vc = big["o_custkey"].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"k": vc.field("values").cast(pa.int64())})
+
+    def distinct(g):
+        return pa.table({"k": pa.array(g["k"].drop_duplicates(),
+                                       type=pa.int64())})
+
+    keys = _group_by_key_buckets(
+        orders.map_batches(part, batch_format="pyarrow"),
+        "k").map_groups(distinct, batch_format="pandas").materialize()
+    arr = pa.concat_tables(
+        [pa.table({"k": b["k"]}) for b in
+         keys.iter_batches(batch_format="pyarrow")])["k"].combine_chunks()
+    ref = ray.put(arr)
+    return cust.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(
+            pc.cast(b["c_custkey"], pa.int64()), value_set=ray.get(ref)))),
+        batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+"""
+
+
 def q_moving_avg_events(sf_dir: str):
     """Frame-based window aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT
     ROW): per-user rolling sum + row count of value cents ordered by
@@ -3305,6 +3631,11 @@ REGISTRY: dict[str, tuple] = {
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "bm25_top_docs": (q_bm25_top_docs, SQL_BM25_TOP_DOCS),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "customers_without_orders": (q_customers_without_orders,
+                                 SQL_CUSTOMERS_WITHOUT_ORDERS),
     # ------------------------------------------------------------------
     # Kept veterans (driver window slots 27-50): the flagship tokens
     # pipelines and the core north-rule checks stay driver-verified.
