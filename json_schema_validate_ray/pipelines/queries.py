@@ -3098,6 +3098,178 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 """
 
 
+def q_funnel_users(sf_dir: str):
+    """Two-step funnel: users whose earliest click precedes a later
+    purchase (min(click ts) < max(purchase ts) — the standard
+    funnel-conversion reduction, exact on timestamps).  Per-user extremes
+    come from per-batch pandas partials (combiner) merged in one user
+    bucket pass; the driver adds three tiny counts."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                          "event_type": b["event_type"].to_pandas(),
+                          "ts": b["ts"].to_pandas()})
+        clk = g[g["event_type"] == "click"].groupby("user_id")["ts"].min()
+        pur = g[g["event_type"] == "purchase"].groupby("user_id")["ts"].max()
+        out = pd.DataFrame({"min_click": clk, "max_purchase": pur}) \
+            .reset_index()
+        return pa.table({
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "min_click": pa.Array.from_pandas(out["min_click"])
+                .cast(pa.timestamp("us")),
+            "max_purchase": pa.Array.from_pandas(out["max_purchase"])
+                .cast(pa.timestamp("us")),
+        })
+
+    def merge(g):
+        out = g.groupby("user_id").agg(
+            min_click=("min_click", "min"),
+            max_purchase=("max_purchase", "max")).reset_index()
+        n_click = int(out["min_click"].notna().sum())
+        n_purchase = int(out["max_purchase"].notna().sum())
+        n_funnel = int((out["min_click"] < out["max_purchase"]).sum())
+        return pa.table({
+            "n_click_users": pa.array([n_click], type=pa.int64()),
+            "n_purchase_users": pa.array([n_purchase], type=pa.int64()),
+            "n_funnel_users": pa.array([n_funnel], type=pa.int64()),
+        })
+
+    rows = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id").map_groups(merge, batch_format="pandas").take_all()
+    return pa.table({
+        "n_click_users": pa.array([sum(r["n_click_users"] for r in rows)],
+                                  type=pa.int64()),
+        "n_purchase_users": pa.array(
+            [sum(r["n_purchase_users"] for r in rows)], type=pa.int64()),
+        "n_funnel_users": pa.array([sum(r["n_funnel_users"] for r in rows)],
+                                   type=pa.int64()),
+    })
+
+
+SQL_FUNNEL_USERS = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS min_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS max_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(min_click) AS BIGINT) AS n_click_users,
+       CAST(COUNT(max_purchase) AS BIGINT) AS n_purchase_users,
+       CAST(SUM(CASE WHEN min_click < max_purchase THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_funnel_users
+FROM u
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention: users grouped by the DAY of their first event
+    (days since 2024-01-01), with the count still active on the NEXT day.
+    Day arithmetic is exact integer microseconds // 86400e6; per-user
+    (first day, active-day set) reduces in one user-bucket pass."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    base_us = np.datetime64("2024-01-01", "us").astype(np.int64)
+    week_us = 86400 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        week = (us - base_us) // week_us
+        g = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                          "week": week}).drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(g["user_id"], type=pa.int64()),
+            "week": pa.array(g["week"], type=pa.int64()),
+        })
+
+    def merge(g):
+        import pandas as pd
+        rows = []
+        for uid, weeks in g.groupby("user_id")["week"]:
+            ws = set(weeks)
+            first = min(ws)
+            rows.append((first, 1, 1 if (first + 1) in ws else 0))
+        df = pd.DataFrame(rows, columns=["cohort_day", "n", "ret"])
+        out = df.groupby("cohort_day", as_index=False).sum()
+        return pa.table({
+            "cohort_day": pa.array(out["cohort_day"], type=pa.int64()),
+            "n_users": pa.array(out["n"], type=pa.int64()),
+            "n_retained": pa.array(out["ret"], type=pa.int64()),
+        })
+
+    parts = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id").map_groups(merge, batch_format="pandas").take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts).groupby("cohort_day", as_index=False).sum()
+    return pa.table({
+        "cohort_day": pa.array(df["cohort_day"], type=pa.int64()),
+        "n_users": pa.array(df["n_users"], type=pa.int64()),
+        "n_retained": pa.array(df["n_retained"], type=pa.int64()),
+    })
+
+
+SQL_COHORT_RETENTION = """
+WITH w AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS BIGINT)
+           // CAST(86400000000 AS BIGINT) AS day
+  FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM w GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM w WHERE w.user_id = c.user_id
+                      AND w.day = c.cohort_day + 1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained
+FROM c GROUP BY c.cohort_day
+"""
+
+
+def q_props_value_histogram(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column with ONE vectorized RE2 ``extract_regex`` pass (no
+    per-row json.loads) and histogram it — the JSON-column analog of the
+    engine's schema checks.  Counts flow through per-batch value_counts
+    combiners; the merge is bounded by distinct k."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ext = pc.extract_regex(b["props"], r'"k": (?P<k>-?\d+)')
+        ks = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        vc = ks.drop_null().value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"k": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def merge(g):
+        out = g.groupby("k", as_index=False)["n"].sum()
+        return pa.table({"k": pa.array(out["k"], type=pa.int64()),
+                         "n": pa.array(out["n"], type=pa.int64())})
+
+    return _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "k").map_groups(merge, batch_format="pandas")
+
+
+SQL_PROPS_VALUE_HISTOGRAM = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY k
+"""
+
+
 def q_moving_avg_events(sf_dir: str):
     """Frame-based window aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT
     ROW): per-user rolling sum + row count of value cents ordered by
@@ -3636,6 +3808,10 @@ REGISTRY: dict[str, tuple] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "customers_without_orders": (q_customers_without_orders,
                                  SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "props_value_histogram": (q_props_value_histogram,
+                              SQL_PROPS_VALUE_HISTOGRAM),
     # ------------------------------------------------------------------
     # Kept veterans (driver window slots 27-50): the flagship tokens
     # pipelines and the core north-rule checks stay driver-verified.
