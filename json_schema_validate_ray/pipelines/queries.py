@@ -3270,6 +3270,110 @@ FROM events GROUP BY k
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix over event types: counts of consecutive
+    (prev -> next) pairs per user in (ts, event_id) order — the behavioral
+    analog of the bigram collocations.  Per-user sequences live in one
+    size-derived bucket; one pandas shift per bucket; the (prev, next)
+    space is tiny (|types|^2) so partials merge on the driver."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def trans(g):
+        import pandas as pd
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        df = pd.DataFrame({"prev": prev, "next": g["event_type"]}).dropna()
+        out = df.groupby(["prev", "next"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({
+            "prev": pa.array(out["prev"], type=pa.string()),
+            "next": pa.array(out["next"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    parts = (ds.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket").map_groups(trans, batch_format="pandas")
+               .take_all())
+    import pandas as pd
+    df = pd.DataFrame(parts).groupby(["prev", "next"], as_index=False).sum()
+    return pa.table({
+        "prev": pa.array(df["prev"], type=pa.string()),
+        "next": pa.array(df["next"], type=pa.string()),
+        "n": pa.array(df["n"], type=pa.int64()),
+    })
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH x AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+FROM x WHERE prev IS NOT NULL GROUP BY prev, next
+"""
+
+
+def q_daily_valid_rate(sf_dir: str):
+    """COMPOSITION: the jsonschema validator x a tumbling daily window —
+    per-day valid/invalid counts of events.props against the reference
+    schema.  The validator APPENDS its verdict, so ts rides through the
+    actor stage and each batch emits (day, n, v) partials; the day space
+    is bounded, so partials merge on the driver."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "props"])
+    verdicts = ds.map_batches(
+        cached_stage(JsonDocValidator, schema=PROPS_EVENT_SCHEMA,
+                     json_column="props", id_column="event_id",
+                     keep_columns=("ts",)),
+        batch_format="pyarrow")
+    base_us = np.datetime64("2024-01-01", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us - base_us) // (86400 * 1_000_000)
+        g = pd.DataFrame({"day": day,
+                          "v": b["valid"].to_numpy(zero_copy_only=False)})
+        out = g.groupby("day").agg(n=("v", "size"), n_valid=("v", "sum"))
+        out = out.reset_index()
+        return pa.table({
+            "day": pa.array(out["day"], type=pa.int64()),
+            "n": pa.array(out["n"].astype("int64"), type=pa.int64()),
+            "n_valid": pa.array(out["n_valid"].astype("int64"),
+                                type=pa.int64()),
+        })
+
+    parts = verdicts.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts).groupby("day", as_index=False).sum()
+    return pa.table({
+        "day": pa.array(df["day"], type=pa.int64()),
+        "n": pa.array(df["n"], type=pa.int64()),
+        "n_valid": pa.array(df["n_valid"], type=pa.int64()),
+        "n_invalid": pa.array(df["n"] - df["n_valid"], type=pa.int64()),
+    })
+
+
+SQL_DAILY_VALID_RATE = """
+SELECT CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS BIGINT)
+         // CAST(86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE coalesce(
+            try_cast(json_extract(props, '$.k') AS BIGINT)
+            BETWEEN 0 AND 89, false)) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (WHERE NOT coalesce(
+            try_cast(json_extract(props, '$.k') AS BIGINT)
+            BETWEEN 0 AND 89, false)) AS BIGINT) AS n_invalid
+FROM events GROUP BY day
+"""
+
+
 def q_moving_avg_events(sf_dir: str):
     """Frame-based window aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT
     ROW): per-user rolling sum + row count of value cents ordered by
@@ -3812,6 +3916,8 @@ REGISTRY: dict[str, tuple] = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "props_value_histogram": (q_props_value_histogram,
                               SQL_PROPS_VALUE_HISTOGRAM),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "daily_valid_rate": (q_daily_valid_rate, SQL_DAILY_VALID_RATE),
     # ------------------------------------------------------------------
     # Kept veterans (driver window slots 27-50): the flagship tokens
     # pipelines and the core north-rule checks stay driver-verified.

@@ -30,13 +30,17 @@ class JsonDocValidator:
     reference's jsonschema_validate error-array format) per document."""
 
     def __init__(self, schema, json_column: str, id_column: Optional[str] = None,
-                 emit_errors: bool = False, exact_numerics: bool = False):
+                 emit_errors: bool = False, exact_numerics: bool = False,
+                 keep_columns: Optional[tuple] = None):
         if not isinstance(schema, CompiledSchema):
             schema = jsonschema_compile(schema)
         self.evaluator = Evaluator(schema)
         self.json_column = json_column
         self.id_column = id_column
         self.emit_errors = emit_errors
+        # extra input columns to pass through unchanged (e.g. a timestamp
+        # for windowed valid-rate compositions)
+        self.keep_columns = tuple(keep_columns or ())
         # exact_numerics=True parses numbers as Decimal (full reference
         # parity); False uses stock json.loads (faster; identical verdicts
         # unless the schema exercises exact-decimal multipleOf/equality)
@@ -70,6 +74,9 @@ class JsonDocValidator:
         cols = {}
         if self.id_column is not None and self.id_column in batch.column_names:
             cols[self.id_column] = batch[self.id_column]
+        for c in self.keep_columns:
+            if c in batch.column_names:
+                cols[c] = batch[c]
         cols["valid"] = pa.array(valids, type=pa.bool_())
         if errors_out is not None:
             cols["errors"] = pa.array(errors_out, type=pa.string())
