@@ -50,8 +50,18 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def synth_documents_partition(part_id: int, rows: int, seed: int = 42,
-                              mean_words: int = 60) -> pa.Table:
-    """One partition of the synthetic documents table (pure function)."""
+                              mean_words: int = 60,
+                              vocab_size: int | None = None) -> pa.Table:
+    """One partition of the synthetic documents table (pure function).
+
+    ``vocab_size`` (default: the 40-word testdata-like VOCAB) switches to a
+    generated ``w%05d`` vocabulary — a LARGE vocab makes shingles selective
+    (realistic for natural text), which is what prefix-filtered exact joins
+    rely on; the tiny default vocab is the adversarial dense case."""
+    if vocab_size is None:
+        vocab = VOCAB
+    else:
+        vocab = [f"w{i:05d}" for i in range(vocab_size)]
     base = part_id * rows
     ids = np.arange(base, base + rows, dtype=np.int64)
     u = ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64)
@@ -79,17 +89,17 @@ def synth_documents_partition(part_id: int, rows: int, seed: int = 42,
            - np.repeat(offsets[:-1], lens)).astype(np.uint64)
     base_words = (_mix64(doc_seed[flat_rows]
                          + pos * np.uint64(0x2545F4914F6CDD1D))
-                  % np.uint64(len(VOCAB)))
+                  % np.uint64(len(vocab)))
     # perturb ~1/13 of positions for non-canonical dup members (member > 0)
     m_flat = member[flat_rows]
     dup_flat = is_dup_cluster[flat_rows]
     perturb = dup_flat & (m_flat > 0) & (
         ((pos + m_flat * np.uint64(5)) % np.uint64(13)) == np.uint64(0))
     alt_words = (_mix64(u[flat_rows] * np.uint64(31) + pos + sd)
-                 % np.uint64(len(VOCAB)))
+                 % np.uint64(len(vocab)))
     words = np.where(perturb, alt_words, base_words).astype(np.int64)
 
-    flat_arr = pc.take(pa.array(VOCAB, type=pa.string()),
+    flat_arr = pc.take(pa.array(vocab, type=pa.string()),
                        pa.array(words, type=pa.int64()))
     lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()
                                               if total < 2**31 else pa.int64()),
@@ -114,7 +124,8 @@ def synth_documents_partition(part_id: int, rows: int, seed: int = 42,
 
 
 def synth_documents_dataset(n_rows: int, n_partitions: int = 64,
-                            seed: int = 42, mean_words: int = 60):
+                            seed: int = 42, mean_words: int = 60,
+                            vocab_size: int | None = None):
     """Lazy Dataset of the synthetic documents table, generated in-cluster
     (one task per partition id — the driver never holds a row)."""
     import ray.data as rd
@@ -123,7 +134,7 @@ def synth_documents_dataset(n_rows: int, n_partitions: int = 64,
 
     def gen(batch: pa.Table) -> pa.Table:
         parts = [synth_documents_partition(int(pid), rows_per_part, seed,
-                                           mean_words)
+                                           mean_words, vocab_size)
                  for pid in batch["id"].to_pylist()]
         return pa.concat_tables(parts)
 
