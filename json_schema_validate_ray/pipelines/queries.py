@@ -1177,6 +1177,17 @@ def q_ann_srp_topk(sf_dir: str):
     return srp_bucketed_topk(ds, _query_vector(sf_dir), k=10, bits=6)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ADC + exact-rerank approximate top-k
+    (rows-only: the shortlist is approximate; recall vs brute force is
+    pinned in tests/test_pq.py)."""
+    from .similarity import pq_topk
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"),
+                            columns=["vec_id", "embedding"])
+    return pq_topk(ds, _query_vector(sf_dir), k=10, m=8, n_codes=16,
+                   rerank=4)
+
+
 def q_embedding_norm_stats(sf_dir: str):
     from .similarity import matrix_from_list_array
     ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
@@ -4006,6 +4017,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_srp_pairs": (q_embedding_srp_pairs, None),
     "ann_srp_topk": (q_ann_srp_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_pq_topk": (q_ann_pq_topk, None),
     "semdedup_embeddings": (q_semdedup_embeddings, None),
 }
 

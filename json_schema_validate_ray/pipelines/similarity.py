@@ -270,6 +270,134 @@ def srp_bucketed_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 8,
     return partial.groupby("query_id").map_groups(prune, batch_format="pandas")
 
 
+def train_pq_codebooks(ds, m: int = 8, n_codes: int = 16,
+                       sample_rows: int = 4096, n_iter: int = 10,
+                       vec_column: str = "embedding",
+                       seed: int = 31) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011): split the
+    normalized vector into ``m`` subspaces and train an ``n_codes``-entry
+    k-means codebook per subspace on a bounded sample — deterministic
+    (fixed seed/iterations), training cost independent of N."""
+    sample = ds.limit(sample_rows).take_all()
+    mat = _normalize(np.array([r[vec_column] for r in sample],
+                              dtype=np.float32))
+    d = mat.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    k = min(n_codes, len(mat))
+    books = np.empty((m, k, sub), dtype=np.float32)
+    for j in range(m):
+        x = mat[:, j * sub:(j + 1) * sub]
+        cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+class _PQTopKScanner:
+    """ADC scan + exact rerank: per batch, encode vectors to PQ codes
+    (argmin L2 per subspace, vectorized), score every query against every
+    row from the per-query ADC lookup tables (sum of m table lookups — no
+    full-dimension matmul), shortlist ``k * rerank`` rows per query, then
+    compute the EXACT cosine for the shortlist only.  Output scores are
+    exact; only the shortlist (recall) is approximate."""
+
+    def __init__(self, query_ref, books_ref, id_column, vec_column, k,
+                 rerank: int):
+        import ray
+        self.queries = _normalize(np.asarray(ray.get(query_ref),
+                                             dtype=np.float32))
+        self.books = ray.get(books_ref)                   # (m, C, sub)
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.k = k
+        self.rerank = rerank
+        m, C, sub = self.books.shape
+        Q = self.queries.shape[0]
+        # ADC tables: adc[q, j, c] = q_sub_j . book[j, c]
+        self.adc = np.einsum("qjs,jcs->qjc",
+                             self.queries.reshape(Q, m, sub), self.books)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        vecs = matrix_from_list_array(batch[self.vec_column])
+        empty = pa.table({"query_id": pa.array([], type=pa.int32()),
+                          self.id_column: pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if len(vecs) == 0:
+            return empty
+        x = _normalize(vecs)
+        m, C, sub = self.books.shape
+        n = x.shape[0]
+        xs = x.reshape(n, m, sub)
+        # encode: nearest sub-centroid by L2, vectorized per subspace
+        codes = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            d2 = ((xs[:, j, None, :] - self.books[None, j]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        # approx sims: sum_j adc[q, j, codes[:, j]]  -> (Q, n)
+        approx = np.zeros((self.queries.shape[0], n), dtype=np.float32)
+        for j in range(m):
+            approx += self.adc[:, j, codes[:, j]]
+        shortlist = min(self.k * self.rerank, n)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(self.queries.shape[0]):
+            top = np.argpartition(-approx[qi], shortlist - 1)[:shortlist]
+            exact = x[top] @ self.queries[qi]             # exact rerank
+            kk = min(self.k, len(top))
+            best = np.argpartition(-exact, kk - 1)[:kk]
+            for b in best:
+                out_q.append(qi)
+                out_id.append(ids[int(top[b])])
+                out_cos.append(round(float(exact[b]), 5))
+        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                         self.id_column: pa.array(out_id),
+                         "cosine": pa.array(out_cos, type=pa.float64())})
+
+
+def pq_topk(ds, queries: np.ndarray, k: int = 10, m: int = 8,
+            n_codes: int = 16, rerank: int = 4, id_column: str = "vec_id",
+            vec_column: str = "embedding", seed: int = 31):
+    """Approximate top-k via product quantization + exact rerank — the
+    memory-bound scale path (codes are m bytes/vector vs 4d; the ADC scan
+    does m table lookups per row instead of a d-dim dot product).
+    Codebooks train once on a bounded sample and broadcast; recall rises
+    with ``rerank`` and ``n_codes``.  Same per-batch-top-k + tiny final
+    prune shape as the other ANN paths."""
+    import ray
+
+    from ..stages.taskcache import cached_stage
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    books = train_pq_codebooks(ds, m=m, n_codes=n_codes,
+                               vec_column=vec_column, seed=seed)
+    query_ref = ray.put(queries)
+    books_ref = ray.put(books)
+    partial = ds.repartition(_scan_partitions(ds)).map_batches(
+        cached_stage(_PQTopKScanner, query_ref=query_ref,
+                     books_ref=books_ref, id_column=id_column,
+                     vec_column=vec_column, k=k, rerank=rerank),
+        batch_format="pyarrow")
+
+    def prune(g):
+        g = g.sort_values(["cosine", id_column],
+                          ascending=[False, True]).head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"], type=pa.int32()),
+            id_column: pa.Array.from_pandas(g[id_column]),
+            "cosine": pa.array(g["cosine"], type=pa.float64())})
+
+    return partial.groupby("query_id").map_groups(prune,
+                                                  batch_format="pandas")
+
+
 def semdedup(ds, threshold: float = 0.9, n_clusters: int | None = None,
              id_column: str = "vec_id", vec_column: str = "embedding",
              seed: int = 29, chunk: int = 1024,
