@@ -165,7 +165,8 @@ def run_bench() -> dict:
              "tfidf_top_terms", "pack_sequences_documents",
              "running_totals_events", "ranked_docs_by_length",
              "semdedup_embeddings", "ngram_jaccard_pairs", "bm25_top_docs",
-             "quantiles_by_group", "moving_avg_events"]
+             "quantiles_by_group", "moving_avg_events",
+             "boilerplate_ngrams", "incremental_dedup"]
     reg = q.queries()
 
     def suite_runner(name):
