@@ -32,6 +32,9 @@ def main() -> None:
     p.add_argument("--parts", type=int, default=64)
     p.add_argument("--vocab", type=int, default=50_000)
     p.add_argument("--with-containment", action="store_true")
+    p.add_argument("--containment-threshold", type=float, default=0.7,
+                   help="0.7 keeps the planted near-dup quads qualifying "
+                        "(their containment ~ 2J/(1+J) ~ 0.72-0.9)")
     p.add_argument("--out", default="/tmp/setsim_scale")
     args = p.parse_args()
 
@@ -67,7 +70,8 @@ def main() -> None:
 
     if args.with_containment:
         t0 = time.perf_counter()
-        cp = containment_pairs(ds, "text", "doc_id", threshold=0.8)
+        cp = containment_pairs(ds, "text", "doc_id",
+                               threshold=args.containment_threshold)
         n_cp = cp.count()
         out["containment_sec"] = round(time.perf_counter() - t0, 1)
         out["containment_pairs"] = int(n_cp)
