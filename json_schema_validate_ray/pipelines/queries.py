@@ -3109,6 +3109,99 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 """
 
 
+def q_clean_split_summary(sf_dir: str):
+    """COMPOSITION: benchmark decontamination x the content-addressed
+    train/val/test split — the hygiene pipeline a training run actually
+    needs.  The md5-band < 5 slice is the held-out benchmark; the rest of
+    the corpus is probed against its broadcast shingle set (one streaming
+    pass, no shuffle) and then band-split 90/5/5, reporting per split how
+    many docs are contaminated (must be dropped) vs clean.  Exact int64;
+    the oracle chains the same predicates as CTEs."""
+    from ..stages.banding import band_values
+    from .decontaminate import decontaminate
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def add_band(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "band", pa.array(band_values(b["doc_id"], mode="md5"),
+                             type=pa.int64()))
+
+    banded = ds.map_batches(add_band, batch_format="pyarrow").materialize()
+    bench = banded.map_batches(
+        lambda b: b.filter(pc.less(b["band"], 5)), batch_format="pyarrow")
+    probe = banded.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["band"], 5)),
+        batch_format="pyarrow")
+    flagged = decontaminate(probe, bench)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        band = b["band"].to_numpy(zero_copy_only=False)
+        split = np.where(band < 90, "train",
+                         np.where(band < 95, "val", "test"))
+        g = pd.DataFrame({
+            "split": split,
+            "c": b["contaminated"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)})
+        out = g.groupby("split", sort=False).agg(
+            n_docs=("c", "size"), n_contaminated=("c", "sum")).reset_index()
+        return pa.table({
+            "split": pa.array(out["split"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype("int64"),
+                               type=pa.int64()),
+            "n_contaminated": pa.array(
+                out["n_contaminated"].astype("int64"), type=pa.int64()),
+        })
+
+    parts = flagged.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts).groupby("split", as_index=False).sum()
+    df = df.sort_values("split")
+    return pa.table({
+        "split": pa.array(df["split"], type=pa.string()),
+        "n_docs": pa.array(df["n_docs"], type=pa.int64()),
+        "n_contaminated": pa.array(df["n_contaminated"], type=pa.int64()),
+        "n_clean": pa.array(df["n_docs"] - df["n_contaminated"],
+                            type=pa.int64()),
+    })
+
+
+SQL_CLEAN_SPLIT_SUMMARY = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+band AS (SELECT *,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      AS b
+  FROM s),
+bench AS (SELECT list(DISTINCT g) AS bl
+  FROM (SELECT unnest(sh) AS g FROM band WHERE b < 5)),
+flag AS (
+  SELECT b, CASE WHEN len(list_intersect(sh, bl)) > 0 THEN 1 ELSE 0 END
+           AS contaminated
+  FROM band, bench WHERE b >= 5
+)
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(*) - SUM(contaminated) AS BIGINT) AS n_clean
+FROM flag GROUP BY split
+"""
+
+
 def q_funnel_users(sf_dir: str):
     """Two-step funnel: users whose earliest click precedes a later
     purchase (min(click ts) < max(purchase ts) — the standard
@@ -3929,6 +4022,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_PROPS_VALUE_HISTOGRAM),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "daily_valid_rate": (q_daily_valid_rate, SQL_DAILY_VALID_RATE),
+    "clean_split_summary": (q_clean_split_summary, SQL_CLEAN_SPLIT_SUMMARY),
     # ------------------------------------------------------------------
     # Kept veterans (driver window slots 27-50): the flagship tokens
     # pipelines and the core north-rule checks stay driver-verified.
