@@ -107,21 +107,24 @@ def translate_posix_pattern(pattern: str) -> str:
     ranges, single-char collating/equivalence elements ``[.x.]`` / ``[=x=]``
     become the character itself (Python would read them as a class of
     ``[``/``.``/x), and GNU word/buffer anchors ``\\< \\> \\` \\'`` map to
-    lookaround/absolute anchors.  A backslash escapes the next character, so
-    ``\\\\<`` stays a literal backslash + ``<``.  Remaining divergences are
-    CHOSEN Python semantics, pinned in tests/test_regex_dialect.py."""
+    lookaround/absolute anchors.  OUTSIDE a bracket expression a backslash
+    escapes the next character, so ``\\\\<`` stays a literal backslash +
+    ``<``; INSIDE ``[...]`` POSIX makes a backslash an ordinary literal
+    member (no escaping), so in-bracket content skips the GNU-escape
+    substitution and a bare ``\\`` is emitted doubled so Python keeps it a
+    class member instead of reading it as an escape.  Remaining divergences
+    are CHOSEN Python semantics, pinned in tests/test_regex_dialect.py."""
     if not any(tok in pattern for tok in _TRANSLATE_TOKENS):
         return pattern
     out: list[str] = []
     i, n = 0, len(pattern)
+    in_bracket = False      # inside a [...] bracket expression
+    bracket_first = False   # at class-start position (right after [ or [^)
     while i < n:
         c = pattern[i]
-        if c == "\\" and i + 1 < n:
-            nxt = pattern[i + 1]
-            out.append(_GNU_ESCAPES.get(nxt, c + nxt))
-            i += 2
-            continue
         if c == "[" and i + 1 < n and pattern[i + 1] in ":.=":
+            # [:class:] / [.coll.] / [=equiv=] sub-elements (valid inside a
+            # bracket expression; also expanded bare, matching prior rounds)
             mark = pattern[i + 1]
             end = pattern.find(mark + "]", i + 2)
             if mark == ":" and end != -1:
@@ -129,11 +132,41 @@ def translate_posix_pattern(pattern: str) -> str:
                 if cls in _POSIX_CLASSES:
                     out.append(_POSIX_CLASSES[cls])
                     i = end + 2
+                    bracket_first = False
                     continue
             elif mark in ".=" and end == i + 3:   # single-char [.x.] / [=x=]
                 out.append(re.escape(pattern[i + 2]))
                 i = end + 2
+                bracket_first = False
                 continue
+        if in_bracket:
+            if c == "]" and not bracket_first:
+                in_bracket = False
+            elif c == "\\":
+                # POSIX: backslash is a literal inside [...] — double it so
+                # Python keeps it a class member, and do NOT consume the
+                # next character as an escape pair
+                out.append("\\")
+                bracket_first = False
+            else:
+                bracket_first = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            out.append(_GNU_ESCAPES.get(nxt, c + nxt))
+            i += 2
+            continue
+        if c == "[":
+            in_bracket = True
+            out.append(c)
+            i += 1
+            if i < n and pattern[i] == "^":
+                out.append("^")
+                i += 1
+            bracket_first = True    # ] here is a literal member ([]a] rule)
+            continue
         out.append(c)
         i += 1
     return "".join(out)

@@ -77,9 +77,12 @@ class _TopKScanner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
         vecs = matrix_from_list_array(batch[self.vec_column])
+        # id type comes from the input schema so empty and non-empty blocks
+        # union cleanly for string ids too (ADVICE r4)
+        id_type = batch.schema.field(self.id_column).type
         if len(vecs) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int32()),
-                             self.id_column: pa.array([], type=pa.int64()),
+                             self.id_column: pa.array([], type=id_type),
                              "cosine": pa.array([], type=pa.float64())})
         sims = _normalize(vecs) @ self.queries.T            # (n, Q)
         k = min(self.k, len(vecs))
@@ -92,7 +95,7 @@ class _TopKScanner:
                 out_id.append(ids[int(i)])
                 out_cos.append(round(float(col[i]), 5))
         return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
-                         self.id_column: pa.array(out_id),
+                         self.id_column: pa.array(out_id, type=id_type),
                          "cosine": pa.array(out_cos, type=pa.float64())})
 
 
@@ -328,8 +331,12 @@ class _PQTopKScanner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
         vecs = matrix_from_list_array(batch[self.vec_column])
+        # derive the id type from the INPUT schema: a hardcoded int64 here
+        # would make empty blocks schema-diverge from non-empty ones for
+        # string ids and fail the downstream union (ADVICE r4)
+        id_type = batch.schema.field(self.id_column).type
         empty = pa.table({"query_id": pa.array([], type=pa.int32()),
-                          self.id_column: pa.array([], type=pa.int64()),
+                          self.id_column: pa.array([], type=id_type),
                           "cosine": pa.array([], type=pa.float64())})
         if len(vecs) == 0:
             return empty
@@ -358,7 +365,7 @@ class _PQTopKScanner:
                 out_id.append(ids[int(top[b])])
                 out_cos.append(round(float(exact[b]), 5))
         return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
-                         self.id_column: pa.array(out_id),
+                         self.id_column: pa.array(out_id, type=id_type),
                          "cosine": pa.array(out_cos, type=pa.float64())})
 
 

@@ -51,18 +51,25 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 def synth_documents_partition(part_id: int, rows: int, seed: int = 42,
                               mean_words: int = 60,
-                              vocab_size: int | None = None) -> pa.Table:
+                              vocab_size: int | None = None,
+                              base: int | None = None) -> pa.Table:
     """One partition of the synthetic documents table (pure function).
 
     ``vocab_size`` (default: the 40-word testdata-like VOCAB) switches to a
     generated ``w%05d`` vocabulary — a LARGE vocab makes shingles selective
     (realistic for natural text), which is what prefix-filtered exact joins
-    rely on; the tiny default vocab is the adversarial dense case."""
+    rely on; the tiny default vocab is the adversarial dense case.
+
+    ``base`` overrides the first doc_id (default ``part_id * rows``) so
+    callers can hand out UNEVEN partition sizes (remainder distribution)
+    while keeping ids contiguous — every column is a pure function of the
+    doc id + seed, so content is independent of the partition layout."""
     if vocab_size is None:
         vocab = VOCAB
     else:
         vocab = [f"w{i:05d}" for i in range(vocab_size)]
-    base = part_id * rows
+    if base is None:
+        base = part_id * rows
     ids = np.arange(base, base + rows, dtype=np.int64)
     u = ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64)
     sd = np.uint64(seed)
@@ -127,15 +134,26 @@ def synth_documents_dataset(n_rows: int, n_partitions: int = 64,
                             seed: int = 42, mean_words: int = 60,
                             vocab_size: int | None = None):
     """Lazy Dataset of the synthetic documents table, generated in-cluster
-    (one task per partition id — the driver never holds a row)."""
+    (one task per partition id — the driver never holds a row).
+
+    Yields EXACTLY ``n_rows`` rows: the first ``n_rows % n_partitions``
+    partitions carry one extra row with id bases shifted to stay contiguous
+    (the old ``n_partitions * (n_rows // n_partitions)`` silently undershot
+    non-divisible requests, so recorded scale points were slightly off —
+    ADVICE r4)."""
     import ray.data as rd
 
-    rows_per_part = max(1, n_rows // n_partitions)
+    n_partitions = max(1, min(n_partitions, n_rows)) if n_rows else 1
+    rows_per_part, rem = divmod(n_rows, n_partitions)
 
     def gen(batch: pa.Table) -> pa.Table:
-        parts = [synth_documents_partition(int(pid), rows_per_part, seed,
-                                           mean_words, vocab_size)
-                 for pid in batch["id"].to_pylist()]
+        parts = []
+        for pid in batch["id"].to_pylist():
+            pid = int(pid)
+            rows = rows_per_part + (1 if pid < rem else 0)
+            base = pid * rows_per_part + min(pid, rem)
+            parts.append(synth_documents_partition(
+                pid, rows, seed, mean_words, vocab_size, base=base))
         return pa.concat_tables(parts)
 
     return (rd.range(n_partitions)

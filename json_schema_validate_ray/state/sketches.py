@@ -507,10 +507,27 @@ class SpaceSaving:
                 errors[k] = m
 
     def merge(self, other: "SpaceSaving") -> None:
+        # A key absent from one side may have had true count up to that
+        # side's floor truncated away, so it must inherit that floor as
+        # count mass AND error (mirroring add_many's floor-initialization);
+        # otherwise a dropped key re-entering via merge understates its
+        # possible true count and breaks true <= count <= true + error.
+        self_floor, other_floor = self.floor, other.floor
         for k, c in other.counts.items():
-            self.counts[k] = self.counts.get(k, 0) + c
-            self.errors[k] = self.errors.get(k, 0) + other.errors[k]
-        self.floor = max(self.floor, other.floor)
+            if k in self.counts:
+                self.counts[k] += c
+                self.errors[k] += other.errors[k]
+            else:
+                self.counts[k] = self_floor + c
+                self.errors[k] = self_floor + other.errors[k]
+        if other_floor:
+            for k in self.counts:
+                if k not in other.counts:
+                    self.counts[k] += other_floor
+                    self.errors[k] += other_floor
+        # A key absent from BOTH sides may have been dropped by both, so
+        # the merged sketch's truncation floor is the SUM of the inputs'.
+        self.floor = self_floor + other_floor
         if len(self.counts) > self.capacity:
             order = sorted(self.counts,
                            key=lambda x: (-self.counts[x], x))

@@ -144,3 +144,41 @@ def test_class_of_dot_and_a_not_mistranslated():
     # at the single-char offset), must pass through untouched
     assert _both(r"^[.a]+$", ".a.")
     assert not _both(r"^[.a]+$", "b")
+
+
+def test_word_anchor_inside_bracket_is_literal_members():
+    # POSIX: inside [...] a backslash is an ordinary literal, so [\<x] is
+    # the class {\, <, x} — the \< must NOT become a word anchor (which in
+    # Python would match backspace/word chars instead).  ADVICE r4.
+    assert _both(r"^[\<x]+$", "x<x")
+    assert _both(r"^[\<x]+$", "\\")          # backslash IS a member
+    assert not _both(r"^[\<x]+$", "b")
+    assert not _both(r"^[\<x]+$", "\b")      # \b backspace must NOT match
+
+
+def test_buffer_anchor_inside_bracket_is_literal_members():
+    # [\`] under POSIX is the class {\, `}
+    assert _both(r"^[\`]+$", "`")
+    assert _both(r"^[\`]+$", "\\")
+    assert not _both(r"^[\`]+$", "a")
+
+
+def test_bracket_context_ends_translation_suppression():
+    # after the bracket closes, \< is a word anchor again
+    assert _both(r"^[\<]\<cat", "<cat sat"[0:] )
+    assert not _both(r"^[\<]\<cat", "<concat")
+
+
+def test_negated_class_with_backslash_member():
+    # [^\<x] excludes backslash, '<' and 'x'
+    assert _both(r"^[^\<x]+$", "abc")
+    assert not _both(r"^[^\<x]+$", "a<c")
+    assert not _both(r"^[^\<x]+$", "a\\c")
+
+
+def test_literal_close_bracket_first_member_with_anchor_token():
+    # []x] puts ']' in the class ([ then literal-]); the trailing \< still
+    # translates because the bracket tracker closed at the real ']'
+    assert _both(r"^[]x]+ \<cat", "]x cat")
+    assert not _both(r"^[]x]+ \<cat", "]x concat"[:-3] + "xyz")
+    assert not _both(r"^[]x]+ \<cat", "]xcat")

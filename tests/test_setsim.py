@@ -165,3 +165,29 @@ def test_synth_documents_deterministic_and_planted():
             dup += 1
     frac = dup / (len(ids) // CLUSTER)
     assert abs(frac - DUP_PCT / 100) < 0.05
+
+
+def test_synth_dataset_exact_rowcount_and_layout_independence():
+    """ADVICE r4: synth_documents_dataset must yield exactly n_rows even
+    when n_rows % n_partitions != 0, and content must be a pure function of
+    the doc id — independent of the partition layout."""
+    import pyarrow.compute as pc
+
+    from json_schema_validate_ray.sources.documents import (
+        synth_documents_dataset)
+
+    ds = synth_documents_dataset(1001, n_partitions=7, seed=5)
+    t = ds.take_all()
+    assert len(t) == 1001
+    ids = sorted(r["doc_id"] for r in t)
+    assert ids == list(range(1001))                 # contiguous, no gaps
+
+    # same rows regardless of how many partitions generated them
+    t2 = synth_documents_dataset(1001, n_partitions=3, seed=5).take_all()
+    by_id = {r["doc_id"]: r["text"] for r in t}
+    by_id2 = {r["doc_id"]: r["text"] for r in t2}
+    assert by_id == by_id2
+
+    # degenerate: fewer rows than partitions still yields exactly n_rows
+    t3 = synth_documents_dataset(5, n_partitions=64, seed=5).take_all()
+    assert sorted(r["doc_id"] for r in t3) == list(range(5))

@@ -83,6 +83,67 @@ def test_merge_truncation_is_not_exact():
         assert true[k] <= c <= true[k] + e, (k, true[k], c, e)
 
 
+def test_merge_reintroduces_dropped_key_with_floor():
+    # a key truncated away in an earlier merge() that re-enters via a LATER
+    # merge() (not add_many) must inherit the receiving side's floor as
+    # count mass and error — otherwise its reported count can understate
+    # the true count and break true <= count <= true + error
+    a, b = SpaceSaving(capacity=4), SpaceSaving(capacity=4)
+    _add_counter(a, Counter({"a": 10, "b": 8, "c": 2, "d": 1}))
+    _add_counter(b, Counter({"e": 9, "f": 7, "g": 3, "h": 1}))
+    a.merge(b)                              # drops g(3), h(1) -> floor 3
+    assert a.floor == 3
+    c = SpaceSaving(capacity=4)
+    _add_counter(c, Counter({"g": 2}))      # dropped key re-enters via merge
+    a.merge(c)
+    true = Counter({"a": 10, "b": 8, "c": 2, "d": 1,
+                    "e": 9, "f": 7, "g": 5, "h": 1})
+    for k, cnt, e in a.topk(4):
+        assert true[k] <= cnt <= true[k] + e, (k, true[k], cnt, e)
+    # g's count must cover the 3 it may have lost in the first truncation
+    if "g" in a.counts:
+        assert a.counts["g"] >= true["g"]
+
+
+def test_merge_symmetric_floor_on_receiving_side():
+    # keys present in SELF but absent from OTHER must absorb other.floor:
+    # other may have truncated that key's mass away before the merge
+    a = SpaceSaving(capacity=4)
+    _add_counter(a, Counter({"g": 2}))
+    b, c = SpaceSaving(capacity=4), SpaceSaving(capacity=4)
+    _add_counter(b, Counter({"a": 10, "b": 8, "c": 2, "d": 1}))
+    _add_counter(c, Counter({"e": 9, "f": 7, "g": 3, "h": 1}))
+    b.merge(c)                              # drops g(3), h(1) -> floor 3
+    a.merge(b)                              # g in self, absent from other
+    true = Counter({"a": 10, "b": 8, "c": 2, "d": 1,
+                    "e": 9, "f": 7, "g": 5, "h": 1})
+    for k, cnt, e in a.topk(4):
+        assert true[k] <= cnt <= true[k] + e, (k, true[k], cnt, e)
+
+
+def test_merged_floor_is_sum_for_doubly_absent_keys():
+    # a key dropped by BOTH inputs may have true count up to the SUM of
+    # the two floors, so the merged floor must be additive, not max —
+    # otherwise a later re-insert of that key understates its true count
+    def side(hi1, hi2):
+        s0, s1 = SpaceSaving(capacity=2), SpaceSaving(capacity=2)
+        _add_counter(s0, Counter({hi1: 9, hi2: 8}))
+        _add_counter(s1, Counter({"x": 3}))
+        s0.merge(s1)                        # truncation drops x(3) -> floor 3
+        assert s0.floor == 3 and "x" not in s0.counts
+        return s0
+
+    a = side("a", "b")
+    b = side("c", "d")
+    a.merge(b)                              # x absent from both; true x = 6
+    assert a.floor >= 6                     # sum of the two floors
+    # re-insert restarts from the floor, so the bound holds for x again
+    _add_counter(a, Counter({"x": 1}))
+    true = Counter({"a": 9, "b": 8, "c": 9, "d": 8, "x": 7})
+    if "x" in a.counts:
+        assert true["x"] <= a.counts["x"] <= true["x"] + a.errors["x"]
+
+
 def test_floor_survives_roundtrip_and_remerge():
     a, b = SpaceSaving(capacity=2), SpaceSaving(capacity=2)
     _add_counter(a, Counter({"a": 5, "b": 4}))
