@@ -166,7 +166,7 @@ def run_bench() -> dict:
              "running_totals_events", "ranked_docs_by_length",
              "semdedup_embeddings", "ngram_jaccard_pairs", "bm25_top_docs",
              "quantiles_by_group", "moving_avg_events",
-             "boilerplate_ngrams", "incremental_dedup"]
+             "boilerplate_ngrams", "incremental_dedup", "ann_ivfpq_topk"]
     reg = q.queries()
 
     def suite_runner(name):

@@ -70,6 +70,15 @@ def main(argv=None) -> int:
     c.add_argument("--band", choices=["fast", "md5"], default="fast",
                    help="mixture band: 'fast' = vectorized splitmix64 "
                    "(production default), 'md5' = oracle-parity band")
+    c.add_argument("--dedup-method", choices=["minhash", "exact"],
+                   default="minhash",
+                   help="pair generator: 'minhash' (LSH, probabilistic "
+                   "recall) or 'exact' (prefix-filtered n-gram Jaccard "
+                   "join, deterministic recall)")
+    c.add_argument("--checkpoint-dir", default=None,
+                   help="persist stage outputs (counts / removed ids / "
+                   "packed) behind manifests; a re-run with the same dir "
+                   "resumes from the last finished stage")
 
     sp = sub.add_parser("split", help="content-addressed train/val/test "
                         "split; writes split-partitioned parquet")
@@ -141,7 +150,7 @@ def main(argv=None) -> int:
             import pyarrow.compute as _pc
             import ray.data as rd
 
-            from .pipelines.curate import curate_run
+            from .pipelines.curate import curate_run, curate_run_checkpointed
             from .pipelines.queries import _MIX_RATES
             in_path = args.input_dir
             if (not in_path.endswith(".parquet")
@@ -151,10 +160,18 @@ def main(argv=None) -> int:
                                  columns=["doc_id", "lang", "text"])
             # single execution: curate_run materializes the packed dataset
             # once and derives the summary from it (no pipeline re-run)
-            packed, summary = curate_run(ds, mix_rates=_MIX_RATES,
-                                         threshold=args.threshold,
-                                         capacity=args.capacity,
-                                         band=args.band)
+            stage_log = None
+            if args.checkpoint_dir:
+                packed, summary, stage_log = curate_run_checkpointed(
+                    ds, args.checkpoint_dir, mix_rates=_MIX_RATES,
+                    threshold=args.threshold, capacity=args.capacity,
+                    band=args.band, dedup_method=args.dedup_method)
+            else:
+                packed, summary = curate_run(ds, mix_rates=_MIX_RATES,
+                                             threshold=args.threshold,
+                                             capacity=args.capacity,
+                                             band=args.band,
+                                             dedup_method=args.dedup_method)
             bpf = args.bins_per_file
             packed.map_batches(
                 lambda b: b.append_column(
@@ -164,7 +181,11 @@ def main(argv=None) -> int:
                 batch_format="pyarrow").write_parquet(
                 args.out_dir, partition_cols=["bin_group"])
             summ = summary.to_pylist()[0]
-            print(json.dumps({"out": args.out_dir, "band": args.band, **summ}))
+            out = {"out": args.out_dir, "band": args.band,
+                   "dedup_method": args.dedup_method, **summ}
+            if stage_log is not None:
+                out["stages"] = stage_log
+            print(json.dumps(out))
         elif args.cmd == "split":
             import os.path
 

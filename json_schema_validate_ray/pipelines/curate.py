@@ -24,6 +24,10 @@ default) where a full-corpus Python loop would dominate at scale.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 import pyarrow as pa
 
 from ..stages.banding import band_mask
@@ -51,22 +55,24 @@ def mixture_filter(ds, id_column: str = "doc_id", lang_column: str = "lang",
 def curate_corpus(ds, id_column: str = "doc_id", text_column: str = "text",
                   lang_column: str = "lang", mix_rates: dict | None = None,
                   threshold: float = 0.5, capacity: int = 2048,
-                  band: str = "md5"):
+                  band: str = "md5", dedup_method: str = "minhash"):
     """mixture -> near-dup survivors -> packed bins.  Returns the packed
-    dataset (id, n_tokens, bin_id)."""
+    dataset (id, n_tokens, bin_id).  ``dedup_method="exact"`` swaps the
+    MinHash pair generator for the prefix-filtered exact n-gram Jaccard
+    join — deterministic recall at higher cost (verdict r4 #5)."""
     from .dedup import near_dup_survivors
     from .packing import pack_sequences
 
     mixed = mixture_filter(ds, id_column, lang_column, mix_rates, band=band)
     deduped = near_dup_survivors(mixed, text_column, id_column,
-                                 threshold=threshold)
+                                 threshold=threshold, method=dedup_method)
     return pack_sequences(deduped, id_column, text_column, capacity=capacity)
 
 
 def curate_run(ds, id_column: str = "doc_id", text_column: str = "text",
                lang_column: str = "lang", mix_rates: dict | None = None,
                threshold: float = 0.5, capacity: int = 2048,
-               band: str = "md5"):
+               band: str = "md5", dedup_method: str = "minhash"):
     """Single-execution curation: run the pipeline ONCE and return both the
     materialized packed dataset and the one-row summary table.
 
@@ -85,7 +91,7 @@ def curate_run(ds, id_column: str = "doc_id", text_column: str = "text",
                            band=band).materialize()
     n_mixed = mixed.count()
     deduped = near_dup_survivors(mixed, text_column, id_column,
-                                 threshold=threshold)
+                                 threshold=threshold, method=dedup_method)
     # materialized: feeds both the parquet write and the summary aggregate
     packed = pack_sequences(deduped, id_column, text_column,
                             capacity=capacity).materialize()
@@ -104,10 +110,135 @@ def curate_run(ds, id_column: str = "doc_id", text_column: str = "text",
 def curate_summary(ds, id_column: str = "doc_id", text_column: str = "text",
                    lang_column: str = "lang", mix_rates: dict | None = None,
                    threshold: float = 0.5, capacity: int = 2048,
-                   band: str = "md5") -> pa.Table:
+                   band: str = "md5",
+                   dedup_method: str = "minhash") -> pa.Table:
     """One-row accounting of the whole curation run: input docs, docs after
     mixing, docs after dedup, bins/tokens/fill of the packed output.  All
     exact int64."""
     _, summary = curate_run(ds, id_column, text_column, lang_column,
-                            mix_rates, threshold, capacity, band=band)
+                            mix_rates, threshold, capacity, band=band,
+                            dedup_method=dedup_method)
     return summary
+
+
+# ---------------------------------------------------------------------------
+# Stage-granular checkpointing (verdict r4 #9)
+# ---------------------------------------------------------------------------
+
+def _stage_done(ckpt_dir: str, stage: str) -> dict | None:
+    mpath = os.path.join(ckpt_dir, "manifest", stage + ".json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+    return None
+
+
+def _stage_commit(ckpt_dir: str, stage: str, meta: dict) -> None:
+    """Manifest written LAST and renamed atomically: a killed run leaves
+    either no manifest (stage recomputes) or a complete one — never a
+    manifest pointing at half-written parquet."""
+    mdir = os.path.join(ckpt_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, stage + ".json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(mdir, stage + ".json"))
+
+
+def _atomic_parquet(ds_out, dest: str) -> None:
+    tmp = dest + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds_out.write_parquet(tmp)
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.replace(tmp, dest)
+
+
+def curate_run_checkpointed(ds, checkpoint_dir: str,
+                            id_column: str = "doc_id",
+                            text_column: str = "text",
+                            lang_column: str = "lang",
+                            mix_rates: dict | None = None,
+                            threshold: float = 0.5, capacity: int = 2048,
+                            band: str = "md5",
+                            dedup_method: str = "minhash"):
+    """Resumable curation (verdict r4 #9): the 13-minute 10M-row
+    composition no longer restarts from zero on failure.  Each EXPENSIVE
+    stage persists its output behind the validate-pipeline manifest
+    pattern (pipelines/validate.py:147-251 — parquet to ``.tmp`` + atomic
+    rename, JSON manifest committed last), and a re-run skips every stage
+    whose manifest exists:
+
+      * ``counts``  — n_input / n_after_mix (the mixed corpus itself is
+        NOT persisted: the band filter is a pure deterministic map, so
+        resume re-derives it in one cheap streaming pass instead of
+        paying a corpus-sized write)
+      * ``removed`` — the near-dup removed-id set (the MinHash/LSH or
+        exact-join dedup, components and all — the dominant cost)
+      * ``packed``  — the packed (id, n_tokens, bin_id) output + the
+        packing summary fields
+
+    Returns (packed Dataset, summary Table, stage_log) where stage_log
+    maps stage -> "computed" | "resumed"."""
+    import ray.data as rd
+
+    from .dedup import anti_filter_removed, near_dup_removed_ids
+    from .packing import pack_sequences, packing_summary
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stage_log: dict[str, str] = {}
+
+    mixed = mixture_filter(ds, id_column, lang_column, mix_rates, band=band)
+
+    counts = _stage_done(checkpoint_dir, "counts")
+    if counts is None:
+        mixed = mixed.materialize()     # feeds the count AND the dedup scan
+        counts = {"n_input": ds.count(), "n_after_mix": mixed.count()}
+        _stage_commit(checkpoint_dir, "counts", counts)
+        stage_log["counts"] = "computed"
+    else:
+        stage_log["counts"] = "resumed"
+
+    removed_dir = os.path.join(checkpoint_dir, "removed_ids")
+    rm_meta = _stage_done(checkpoint_dir, "removed")
+    if rm_meta is None:
+        removed = near_dup_removed_ids(mixed, text_column, id_column,
+                                       threshold=threshold,
+                                       method=dedup_method)
+        _atomic_parquet(removed, removed_dir)
+        rm_meta = {"output": removed_dir, "n_removed": removed.count(),
+                   "method": dedup_method, "threshold": threshold}
+        _stage_commit(checkpoint_dir, "removed", rm_meta)
+        stage_log["removed"] = "computed"
+    else:
+        stage_log["removed"] = "resumed"
+    removed = (rd.read_parquet(removed_dir).materialize()
+               if rm_meta["n_removed"] else None)
+
+    packed_dir = os.path.join(checkpoint_dir, "packed")
+    pk_meta = _stage_done(checkpoint_dir, "packed")
+    if pk_meta is None:
+        deduped = (anti_filter_removed(mixed, removed, id_column)
+                   if removed is not None else mixed)
+        packed = pack_sequences(deduped, id_column, text_column,
+                                capacity=capacity).materialize()
+        _atomic_parquet(packed, packed_dir)
+        ps = packing_summary(packed, capacity=capacity).to_pylist()[0]
+        pk_meta = {"output": packed_dir, **ps}
+        _stage_commit(checkpoint_dir, "packed", pk_meta)
+        stage_log["packed"] = "computed"
+    else:
+        stage_log["packed"] = "resumed"
+    packed = rd.read_parquet(packed_dir)
+
+    summary = pa.table({
+        "n_input": pa.array([counts["n_input"]], type=pa.int64()),
+        "n_after_mix": pa.array([counts["n_after_mix"]], type=pa.int64()),
+        "n_after_dedup": pa.array([pk_meta["n_docs"]], type=pa.int64()),
+        "total_tokens": pa.array([pk_meta["total_tokens"]], type=pa.int64()),
+        "n_bins": pa.array([pk_meta["n_bins"]], type=pa.int64()),
+        "fill_rate_1e6": pa.array([pk_meta["fill_rate_1e6"]],
+                                  type=pa.int64()),
+    })
+    return packed, summary, stage_log

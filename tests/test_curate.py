@@ -97,3 +97,55 @@ def test_fast_band_mixture(ray_session):
     row = curate_summary(_corpus(), mix_rates={"en": 0}, threshold=0.5,
                          capacity=16, band="fast").to_pylist()[0]
     assert row["n_input"] == 6 and row["n_after_mix"] == 4
+
+
+def test_curate_checkpointed_kill_and_resume(ray_session, tmp_path):
+    """verdict r4 #9: a second run resumes every finished stage; deleting
+    one stage's manifest recomputes ONLY that stage; results identical to
+    the single-shot curate_run."""
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.curate import (
+        curate_run, curate_run_checkpointed)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    ck = str(tmp_path / "ckpt")
+    rates = {"en": 30, "zh": 50}
+
+    packed1, sum1, log1 = curate_run_checkpointed(
+        ds, ck, mix_rates=rates, threshold=0.5, capacity=2048)
+    assert log1 == {"counts": "computed", "removed": "computed",
+                    "packed": "computed"}
+
+    # single-shot reference: identical summary
+    _, ref = curate_run(ds, mix_rates=rates, threshold=0.5, capacity=2048)
+    assert sum1.to_pylist() == ref.to_pylist()
+
+    # full resume: nothing recomputes
+    packed2, sum2, log2 = curate_run_checkpointed(
+        ds, ck, mix_rates=rates, threshold=0.5, capacity=2048)
+    assert log2 == {"counts": "resumed", "removed": "resumed",
+                    "packed": "resumed"}
+    assert sum2.to_pylist() == sum1.to_pylist()
+    assert sorted(packed2.take_all(), key=lambda r: r["doc_id"]) == \
+        sorted(packed1.take_all(), key=lambda r: r["doc_id"])
+
+    # kill-after-dedup simulation: drop ONLY the packed manifest; the
+    # expensive removed stage must stay resumed
+    import os
+    os.remove(os.path.join(ck, "manifest", "packed.json"))
+    _, sum3, log3 = curate_run_checkpointed(
+        ds, ck, mix_rates=rates, threshold=0.5, capacity=2048)
+    assert log3 == {"counts": "resumed", "removed": "resumed",
+                    "packed": "computed"}
+    assert sum3.to_pylist() == sum1.to_pylist()
+
+    # torn-write simulation: a .tmp parquet dir without its manifest is
+    # invisible and simply overwritten
+    os.remove(os.path.join(ck, "manifest", "removed.json"))
+    os.makedirs(os.path.join(ck, "removed_ids.tmp"), exist_ok=True)
+    _, sum4, log4 = curate_run_checkpointed(
+        ds, ck, mix_rates=rates, threshold=0.5, capacity=2048)
+    assert log4["removed"] == "computed"
+    assert sum4.to_pylist() == sum1.to_pylist()

@@ -35,6 +35,13 @@ def main() -> None:
     p.add_argument("--containment-threshold", type=float, default=0.7,
                    help="0.7 keeps the planted near-dup quads qualifying "
                         "(their containment ~ 2J/(1+J) ~ 0.72-0.9)")
+    p.add_argument("--df-cap", default=None,
+                   help="containment stop-shingle cap: an int, 'auto' "
+                        "(size-derived production default), or unset for "
+                        "the exact oracle mode")
+    p.add_argument("--containment-recall-vs-exact", action="store_true",
+                   help="also run EXACT containment and report the capped "
+                        "run's pair recall against it")
     p.add_argument("--out", default="/tmp/setsim_scale")
     args = p.parse_args()
 
@@ -69,12 +76,28 @@ def main() -> None:
     out["jaccard_rows_per_sec"] = int(args.rows / out["jaccard_sec"])
 
     if args.with_containment:
+        df_cap = args.df_cap
+        if df_cap is not None and df_cap != "auto":
+            df_cap = int(df_cap)
         t0 = time.perf_counter()
         cp = containment_pairs(ds, "text", "doc_id",
-                               threshold=args.containment_threshold)
-        n_cp = cp.count()
+                               threshold=args.containment_threshold,
+                               df_cap=df_cap)
+        got = {(r["id_a"], r["id_b"]) for r in cp.take_all()}
         out["containment_sec"] = round(time.perf_counter() - t0, 1)
-        out["containment_pairs"] = int(n_cp)
+        out["containment_pairs"] = len(got)
+        out["containment_df_cap"] = args.df_cap
+        if args.containment_recall_vs_exact and df_cap is not None:
+            t0 = time.perf_counter()
+            exact = containment_pairs(
+                ds, "text", "doc_id",
+                threshold=args.containment_threshold, df_cap=None)
+            truth = {(r["id_a"], r["id_b"]) for r in exact.take_all()}
+            out["containment_exact_sec"] = round(time.perf_counter() - t0, 1)
+            out["containment_exact_pairs"] = len(truth)
+            out["containment_recall"] = (
+                round(len(got & truth) / len(truth), 4) if truth else 1.0)
+            out["containment_false_pairs"] = len(got - truth)
 
     out["peak_node_mem_gib"] = round(sampler.stop(), 1)
     print(json.dumps(out), flush=True)
