@@ -3735,6 +3735,125 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_cube_lang_source(sf_dir: str):
+    """CUBE aggregate (round 5): counts at (lang, source), (lang), (source)
+    and grand-total levels — ROLLUP plus the source-only margin.  Same
+    shape as q_rollup_lang_source: base pair counts from combiner partials
+    + a pair-bucketed merge; every super-aggregate level is derived from
+    the strictly smaller base on the driver, no second scan."""
+    from .dedup import _group_by_key_buckets
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                          "source": b["source"].to_pandas()})
+        out = g.groupby(["lang", "source"], sort=False).size().reset_index(name="n")
+        out["pair"] = out["lang"] + "\x1f" + out["source"]
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "source": pa.array(out["source"], type=pa.string()),
+            "pair": pa.array(out["pair"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def merge(g):
+        out = g.groupby(["lang", "source"], sort=False)["n"].sum().reset_index()
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "source": pa.array(out["source"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    base = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "pair").map_groups(
+        merge, batch_format="pandas").take_all()
+    import pandas as pd
+    b = pd.DataFrame(base)
+    langs = b.groupby("lang", as_index=False)["n"].sum()
+    srcs = b.groupby("source", as_index=False)["n"].sum()
+    total = int(b["n"].sum())
+    lang_col = (list(b["lang"]) + list(langs["lang"])
+                + [None] * len(srcs) + [None])
+    src_col = (list(b["source"]) + [None] * len(langs)
+               + list(srcs["source"]) + [None])
+    n_col = (list(b["n"]) + list(langs["n"]) + list(srcs["n"]) + [total])
+    return pa.table({
+        "lang": pa.array(lang_col, type=pa.string()),
+        "source": pa.array(src_col, type=pa.string()),
+        "n": pa.array([int(x) for x in n_col], type=pa.int64()),
+    })
+
+
+SQL_CUBE_LANG_SOURCE = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def q_user_event_paths(sf_dir: str):
+    """Per-user behavioral PATHS (round 5): the full ordered event-type
+    sequence of each user joined with '->', then the 25 most common paths
+    with user counts — sequence-extraction prep for behavioral modeling.
+    Per-user sequences live in one size-derived user bucket (one pandas
+    sort + groupby-join per bucket, no per-user scheduling); path counts
+    flow as (path, n) partials into a path-bucketed merge whose per-bucket
+    top-25 is complete (a path's whole count lives in one bucket), so the
+    driver only merges tiny per-bucket top lists."""
+    from .dedup import _group_by_key_buckets
+
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def paths(g):
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        agg = g.groupby("user_id", sort=False)["event_type"] \
+            .agg("->".join).reset_index(name="path")
+        out = agg.groupby("path", sort=False).size().reset_index(name="n")
+        return pa.table({
+            "path": pa.array(out["path"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    partials = (ds.map_batches(bucketize, batch_format="pyarrow")
+                  .groupby("bucket").map_groups(paths,
+                                                batch_format="pandas"))
+
+    def topk(g):
+        out = g.groupby("path", sort=False)["n"].sum().reset_index()
+        out = out.sort_values(["n", "path"],
+                              ascending=[False, True]).head(25)
+        return pa.table({
+            "path": pa.array(out["path"], type=pa.string()),
+            "n_users": pa.array(out["n"], type=pa.int64()),
+        })
+
+    parts = _group_by_key_buckets(partials, "path").map_groups(
+        topk, batch_format="pandas").take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts).sort_values(
+        ["n_users", "path"], ascending=[False, True]).head(25)
+    return pa.table({
+        "path": pa.array(df["path"], type=pa.string()),
+        "n_users": pa.array(df["n_users"], type=pa.int64()),
+    })
+
+
+SQL_USER_EVENT_PATHS = """
+WITH p AS (
+  SELECT user_id,
+         string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path LIMIT 25
+"""
+
+
 def q_curate_summary_documents(sf_dir: str):
     """FLAGSHIP COMPOSITION: weighted mixture filter -> near-dup dedup
     (pairs -> components -> canonical survivors) -> sequence packing, in one
@@ -4017,6 +4136,8 @@ REGISTRY: dict[str, tuple] = {
     # ------------------------------------------------------------------
     "curate_exact_summary_documents": (q_curate_exact_summary_documents,
                                        SQL_CURATE_EXACT_SUMMARY_DOCUMENTS),
+    "cube_lang_source": (q_cube_lang_source, SQL_CUBE_LANG_SOURCE),
+    "user_event_paths": (q_user_event_paths, SQL_USER_EVENT_PATHS),
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (driver window slots 1-22).  The correctness driver
     # verifies only the FIRST 50 registry entries; the 22 round-3 operators

@@ -371,3 +371,24 @@ def test_derive_df_cap_targets_hot_tail(ray_session):
                    "role": pa.array(np.ones(500, dtype=np.int8))})
     cap2 = _derive_df_cap(rd.from_arrow(t2))
     assert cap2 is not None and cap2 >= 64
+
+
+def test_exact_joins_with_string_ids(ray_session):
+    """String id columns drive the object-dtype lexsort path in the
+    vectorized bucket emission; results must match the int-id brute
+    force (ids compared as strings in both)."""
+    import ray.data as rd
+    texts, ids = _near_dup_corpus(seed=21, n=80)
+    sids = [f"doc-{i:05d}" for i in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(sids, type=pa.string()),
+                                 "text": pa.array(texts, type=pa.string())}))
+    got = {(r["id_a"], r["id_b"]): r["jaccard_1e6"]
+           for r in ngram_jaccard_pairs(ds, "text", "doc_id",
+                                        threshold=0.5).take_all()}
+    want = _brute_pairs(texts, sids, 0.5, "jaccard")
+    assert got == want and len(want) > 5
+    gotc = {(r["id_a"], r["id_b"]): r["containment_1e6"]
+            for r in containment_pairs(ds, "text", "doc_id",
+                                       threshold=0.8).take_all()}
+    wantc = _brute_pairs(texts, sids, 0.8, "containment")
+    assert gotc == wantc and len(wantc) > 5
