@@ -4125,6 +4125,558 @@ def q_semdedup_embeddings(sf_dir: str):
     return semdedup(ds, threshold=0.85, n_clusters=8)
 
 
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary overlap matrix (round 5): for every
+    unordered pair of sources, how many distinct tokens appear in BOTH,
+    plus the vocabulary Jaccard (x1e6, pure-integer) — the data-mixing
+    audit that tells you whether two sources are lexically redundant
+    before you weight them.  Exchanges carry distinct (token, source)
+    pairs only; a token's source set is bounded by #sources, so per-bucket
+    pair emission is tiny; (source_a, source_b) partials and per-source
+    marginals have bounded key spaces and the driver merges partials only
+    (each token lives wholly in one bucket, so both counts are additive
+    across buckets).  Marginal rows travel in the same partial table with
+    source_b = '' — no second scan."""
+    from ..stages.text import split_tokens_arrow
+    from .dedup import _group_by_key_buckets
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["text", "source"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        _, flat, parent = split_tokens_arrow(b["text"])
+        src = b["source"].to_pandas().to_numpy()[parent]
+        df = pd.DataFrame({"token": flat.to_pandas().to_numpy(),
+                           "source": src})
+        df = df[df["token"] != ""].drop_duplicates()  # batch-local distinct
+        return pa.table({
+            "token": pa.array(df["token"], type=pa.string()),
+            "source": pa.array(df["source"], type=pa.string()),
+        })
+
+    def pairs(g):
+        import pandas as pd
+        g = g.drop_duplicates(subset=["token", "source"])
+        # one matmul per bucket: membership matrix (token x source) ->
+        # M'M = the whole source co-occurrence matrix (S is small, counts
+        # < 2^53 so float64 BLAS is exact)
+        tcode, _ = pd.factorize(g["token"], sort=False)
+        scode, slabels = pd.factorize(g["source"], sort=True)
+        m = np.zeros((tcode.max() + 1, len(slabels)), dtype=np.float64)
+        m[tcode, scode] = 1.0
+        co = (m.T @ m).astype(np.int64)
+        iu, ju = np.triu_indices(len(slabels), 1)
+        sa = list(np.asarray(slabels)[iu]) + list(slabels)
+        sb = list(np.asarray(slabels)[ju]) + [""] * len(slabels)
+        n = list(co[iu, ju]) + list(np.diag(co))
+        keep = [i for i, v in enumerate(n) if v > 0]
+        return pa.table({
+            "source_a": pa.array([sa[i] for i in keep], type=pa.string()),
+            "source_b": pa.array([sb[i] for i in keep], type=pa.string()),
+            "n": pa.array([int(n[i]) for i in keep], type=pa.int64()),
+        })
+
+    partials = _group_by_key_buckets(
+        ds.map_batches(toks, batch_format="pyarrow"), "token").map_groups(
+        pairs, batch_format="pandas").take_all()
+    import pandas as pd
+    df = pd.DataFrame(partials, columns=["source_a", "source_b", "n"]) \
+        .groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+    marg = df[df["source_b"] == ""].set_index("source_a")["n"]
+    out = df[df["source_b"] != ""].sort_values(["source_a", "source_b"])
+    shared = out["n"].astype("int64")
+    union = (marg.loc[out["source_a"]].to_numpy()
+             + marg.loc[out["source_b"]].to_numpy() - shared.to_numpy())
+    return pa.table({
+        "source_a": pa.array(out["source_a"], type=pa.string()),
+        "source_b": pa.array(out["source_b"], type=pa.string()),
+        "n_shared": pa.array(shared, type=pa.int64()),
+        "jaccard_x1e6": pa.array(shared.to_numpy() * 1_000_000 // union,
+                                 type=pa.int64()),
+    })
+
+
+SQL_SOURCE_VOCAB_OVERLAP = r"""
+WITH t AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+m AS (SELECT source, COUNT(*) AS nv FROM t GROUP BY source),
+p AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ns
+  FROM t a JOIN t b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b, CAST(ns AS BIGINT) AS n_shared,
+       CAST(ns * 1000000 // (ma.nv + mb.nv - ns) AS BIGINT) AS jaccard_x1e6
+FROM p JOIN m ma ON ma.source = p.sa JOIN m mb ON mb.source = p.sb
+ORDER BY 1, 2
+"""
+
+
+def q_vocab_richness_by_source(sf_dir: str):
+    """Per-source vocabulary-richness estimators (round 5): total token
+    occurrences, distinct tokens, hapax/dis legomena counts (f1/f2), the
+    type-token ratio and the bias-corrected Chao1 species-richness estimate
+    S + f1*(f1-1)/(2*(f2+1)) (Chao 1984 / Colwell & Coddington 1994) — the
+    "how much unseen vocabulary remains in this source" signal used when
+    sizing tokenizer vocab per data source.  All ratios are pure-integer
+    x1e6 fixed point so both sides are bit-identical.  Scale shape:
+    per-batch (source, token) count partials -> token-bucketed merge (each
+    (source, token) lives wholly in one bucket so distinct/f1/f2 partials
+    are additive across buckets) -> driver folds #sources rows."""
+    from ..stages.text import split_tokens_arrow
+    from .dedup import _group_by_key_buckets
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        _, flat, parent = split_tokens_arrow(b["text"])
+        src = b["source"].to_pandas().to_numpy()[parent]
+        df = pd.DataFrame({"source": src,
+                           "token": flat.to_pandas().to_numpy()})
+        df = df[df["token"] != ""]  # blank rows tokenize to ['']
+        out = df.groupby(["source", "token"], sort=False) \
+            .size().reset_index(name="n")
+        out["key"] = out["source"] + "\x1f" + out["token"]
+        return pa.table({
+            "source": pa.array(out["source"], type=pa.string()),
+            "key": pa.array(out["key"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def fold(g):
+        tot = g.groupby(["source", "key"], sort=False)["n"].sum() \
+            .reset_index()
+        agg = tot.groupby("source", sort=False)["n"].agg(
+            total="sum", distinct="size",
+            f1=lambda s: int((s == 1).sum()),
+            f2=lambda s: int((s == 2).sum())).reset_index()
+        return pa.table({
+            "source": pa.array(agg["source"], type=pa.string()),
+            "total": pa.array(agg["total"], type=pa.int64()),
+            "distinct": pa.array(agg["distinct"], type=pa.int64()),
+            "f1": pa.array(agg["f1"], type=pa.int64()),
+            "f2": pa.array(agg["f2"], type=pa.int64()),
+        })
+
+    parts = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "key").map_groups(
+        fold, batch_format="pandas").take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts).groupby("source", as_index=False).sum() \
+        .sort_values("source")
+    total = df["total"].astype("int64")
+    distinct = df["distinct"].astype("int64")
+    f1 = df["f1"].astype("int64")
+    f2 = df["f2"].astype("int64")
+    ttr = (distinct * 1_000_000) // total
+    chao1 = distinct * 1_000_000 + (f1 * (f1 - 1) * 1_000_000) // (2 * (f2 + 1))
+    return pa.table({
+        "source": pa.array(df["source"], type=pa.string()),
+        "n_tokens": pa.array(total, type=pa.int64()),
+        "n_distinct": pa.array(distinct, type=pa.int64()),
+        "f1": pa.array(f1, type=pa.int64()),
+        "f2": pa.array(f2, type=pa.int64()),
+        "ttr_x1e6": pa.array(ttr, type=pa.int64()),
+        "chao1_x1e6": pa.array(chao1, type=pa.int64()),
+    })
+
+
+SQL_VOCAB_RICHNESS_BY_SOURCE = r"""
+WITH t AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+c AS (SELECT source, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+a AS (
+  SELECT source, SUM(n) AS total, COUNT(*) AS "distinct",
+         COUNT(*) FILTER (WHERE n = 1) AS f1,
+         COUNT(*) FILTER (WHERE n = 2) AS f2
+  FROM c GROUP BY source)
+SELECT source, CAST(total AS BIGINT) AS n_tokens,
+       CAST("distinct" AS BIGINT) AS n_distinct,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       CAST(("distinct" * 1000000) // total AS BIGINT) AS ttr_x1e6,
+       CAST("distinct" * 1000000
+            + (f1 * (f1 - 1) * 1000000) // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1_x1e6
+FROM a ORDER BY source
+"""
+
+
+def q_user_event_type_gini(sf_dir: str):
+    """Per-user behavioral-diversity index (round 5): Gini impurity of each
+    user's event-type distribution, 1 - sum((c/T)^2), as the pure-rational
+    fixed point (T^2 - sum(c^2)) * 1e6 // T^2 — no transcendental entropy,
+    so Ray and SQL are bit-identical.  (user, event_type) count partials
+    from each batch -> user-bucketed merge (a user's whole distribution
+    lands in one bucket, types are bounded) -> per-user arithmetic inside
+    the bucket; the driver never sees per-event rows."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "event_type"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                           "event_type": b["event_type"].to_pandas(),
+                           "bucket": b["bucket"].to_numpy()})
+        out = df.groupby(["bucket", "user_id", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            "bucket": pa.array(out["bucket"], type=pa.int64()),
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def gini(g):
+        c = g.groupby(["user_id", "event_type"], sort=False)["n"].sum() \
+            .reset_index()
+        a = c.groupby("user_id", sort=False)["n"].agg(
+            tot="sum", ss=lambda s: int((s.to_numpy() ** 2).sum())) \
+            .reset_index()
+        tot = a["tot"].astype("int64")
+        gx = (tot * tot - a["ss"].astype("int64")) * 1_000_000 // (tot * tot)
+        return pa.table({
+            "user_id": pa.array(a["user_id"], type=pa.int64()),
+            "n_events": pa.array(tot, type=pa.int64()),
+            "gini_x1e6": pa.array(gx, type=pa.int64()),
+        })
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket").map_groups(gini, batch_format="pandas"))
+    tbl = pa.Table.from_pylist(out.take_all())
+    return pa.table({
+        "user_id": pc.cast(tbl["user_id"], pa.int64()),
+        "n_events": pc.cast(tbl["n_events"], pa.int64()),
+        "gini_x1e6": pc.cast(tbl["gini_x1e6"], pa.int64()),
+    }).sort_by("user_id")
+
+
+SQL_USER_EVENT_TYPE_GINI = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+t AS (
+  SELECT user_id, SUM(n) AS tot, SUM(n * n) AS ss FROM c GROUP BY user_id)
+SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+       CAST((tot * tot - ss) * 1000000 // (tot * tot) AS BIGINT)
+         AS gini_x1e6
+FROM t ORDER BY user_id
+"""
+
+
+def q_late_events_by_type(sf_dir: str):
+    """Out-of-order (late) event detection per event type (round 5): an
+    event is LATE when its timestamp is older than the running maximum
+    timestamp over all events that arrived before it (arrival order =
+    event_id) — the watermark primitive of streaming ingestion, here as a
+    batch audit: late counts and the worst lateness in microseconds per
+    type.  Distributed as the same two-pass prefix pattern as global_rank
+    (pipelines/rank.py): sort (event_id, ts, event_type) once, each block
+    reports (first_id, block_max_ts), the driver folds the O(#blocks)
+    exclusive prefix-max and broadcasts it; the second pass combines the
+    block's incoming watermark with an in-block running max — streaming,
+    no second shuffle, per-type partials only reach the driver."""
+    import ray
+
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["event_id", "ts", "event_type"])
+    sorted_ds = ds.sort("event_id").materialize()
+
+    firsts = sorted_ds.map_batches(
+        lambda b: pa.table({
+            "first_id": b["event_id"].slice(0, min(1, b.num_rows)),
+            "max_ts_us": pa.array(
+                [pc.max(b["ts"].cast(pa.int64())).as_py()]
+                if b.num_rows else [], type=pa.int64())}),
+        batch_format="pyarrow").take_all()
+    firsts.sort(key=lambda r: r["first_id"])
+    watermarks: dict = {}
+    acc = None
+    for r in firsts:
+        watermarks[r["first_id"]] = acc  # exclusive: max over PRIOR blocks
+        acc = r["max_ts_us"] if acc is None else max(acc, r["max_ts_us"])
+    wm_ref = ray.put(watermarks)
+
+    def late(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_late": pa.array([], type=pa.int64()),
+                "max_lateness_us": pa.array([], type=pa.int64())})
+        import pandas as pd
+        ts = b["ts"].cast(pa.int64()).to_numpy()  # us since epoch
+        run = np.maximum.accumulate(ts)
+        # watermark BEFORE each row: in-block exclusive running max,
+        # seeded with the prior blocks' max
+        prev = np.empty_like(run)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = run[:-1]
+        incoming = ray.get(wm_ref)[b["event_id"][0].as_py()]
+        if incoming is not None:
+            prev = np.maximum(prev, np.int64(incoming))
+        is_late = ts < prev
+        # mask BEFORE subtracting: the first-row int64.min sentinel would
+        # wrap (prev - ts) to a huge positive otherwise
+        lateness = np.where(is_late, prev - ts, 0)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas().to_numpy(),
+            "is_late": is_late.astype(np.int64),
+            "lateness": lateness})
+        out = df.groupby("event_type", sort=False) \
+            .agg(n_events=("is_late", "size"), n_late=("is_late", "sum"),
+                 max_lateness_us=("lateness", "max")).reset_index()
+        return pa.table({
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_events": pa.array(out["n_events"], type=pa.int64()),
+            "n_late": pa.array(out["n_late"], type=pa.int64()),
+            "max_lateness_us": pa.array(out["max_lateness_us"],
+                                        type=pa.int64()),
+        })
+
+    parts = sorted_ds.map_batches(late, batch_format="pyarrow").take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts, columns=["event_type", "n_events", "n_late",
+                                      "max_lateness_us"])
+    out = df.groupby("event_type", as_index=False) \
+        .agg(n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+             max_lateness_us=("max_lateness_us", "max")) \
+        .sort_values("event_type")
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_events": pa.array(out["n_events"], type=pa.int64()),
+        "n_late": pa.array(out["n_late"], type=pa.int64()),
+        "max_lateness_us": pa.array(out["max_lateness_us"], type=pa.int64()),
+    })
+
+
+SQL_LATE_EVENTS_BY_TYPE = """
+WITH w AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE ts < mx) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(epoch_us(mx) - epoch_us(ts))
+                     FILTER (WHERE ts < mx), 0) AS BIGINT)
+         AS max_lateness_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_user_modal_event_type(sf_dir: str):
+    """MODE aggregate (round 5): each user's most frequent event type with
+    a deterministic tie-break (count DESC, type ASC) — the categorical
+    "typical behavior" summary SQL spells ROW_NUMBER-over-count.  Same
+    combiner shape as the gini query: (user, type) count partials ->
+    user-bucketed merge -> one vectorized sort + first-per-user pass per
+    bucket; a user's whole distribution lives in one bucket so the bucket
+    winner is the global winner."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "event_type"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                           "event_type": b["event_type"].to_pandas(),
+                           "bucket": b["bucket"].to_numpy()})
+        out = df.groupby(["bucket", "user_id", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            "bucket": pa.array(out["bucket"], type=pa.int64()),
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def mode(g):
+        c = g.groupby(["user_id", "event_type"], sort=False)["n"].sum() \
+            .reset_index()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        w = c.drop_duplicates(subset="user_id", keep="first")
+        return pa.table({
+            "user_id": pa.array(w["user_id"], type=pa.int64()),
+            "modal_type": pa.array(w["event_type"], type=pa.string()),
+            "n": pa.array(w["n"], type=pa.int64()),
+        })
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket").map_groups(mode, batch_format="pandas"))
+    tbl = pa.Table.from_pylist(out.take_all())
+    return pa.table({
+        "user_id": pc.cast(tbl["user_id"], pa.int64()),
+        "modal_type": pc.cast(tbl["modal_type"], pa.string()),
+        "n": pc.cast(tbl["n"], pa.int64()),
+    }).sort_by("user_id")
+
+
+SQL_USER_MODAL_EVENT_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_cumulative_users_by_day(sf_dir: str):
+    """Running COUNT(DISTINCT) — cumulative unique users by day (round 5).
+    A naive windowed distinct re-counts the full user set per day; the
+    distributed identity is first-seen-day per user (one groupby-min over
+    (user, day) pairs), then a per-day first-seen count whose cumulative
+    sum IS the running distinct count.  The exchange carries one row per
+    user; the driver folds only O(#days) rows."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        t = pa.table({"user_id": b["user_id"],
+                      "day": pc.floor_temporal(b["ts"], unit="day")})
+        # batch-local min: bounds shuffle rows to users-per-batch
+        d = t.to_pandas().groupby("user_id", sort=False)["day"].min() \
+            .reset_index()
+        return pa.table({
+            "user_id": pa.array(d["user_id"], type=pa.int64()),
+            "day": pa.array(d["day"], type=pa.timestamp("us")),
+        })
+
+    first_seen = ds.map_batches(days, batch_format="pyarrow") \
+        .groupby("user_id").min("day")
+
+    def per_day(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        c = b.column(1).to_pandas().value_counts().sort_index()
+        return pa.table({
+            "day": pa.array(c.index, type=pa.timestamp("us")),
+            "n": pa.array(c.to_numpy(), type=pa.int64()),
+        })
+
+    parts = first_seen.map_batches(per_day, batch_format="pyarrow") \
+        .take_all()
+    import pandas as pd
+    df = pd.DataFrame(parts, columns=["day", "n"]) \
+        .groupby("day", as_index=False)["n"].sum().sort_values("day")
+    return pa.table({
+        "day": pa.array(df["day"], type=pa.timestamp("us")),
+        "cum_users": pa.array(df["n"].cumsum(), type=pa.int64()),
+    })
+
+
+SQL_CUMULATIVE_USERS_BY_DAY = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+  FROM events GROUP BY user_id),
+c AS (SELECT day, COUNT(*) AS n FROM f GROUP BY day)
+SELECT day, CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM c ORDER BY day
+"""
+
+
+def q_robust_outlier_docs_mad(sf_dir: str):
+    """Robust per-group outlier detection via the median absolute deviation
+    (round 5): per lang, the discrete median of n_chars, the discrete
+    median of |n_chars - median| (MAD), and how many docs deviate more
+    than 2 MADs — the outlier rule that, unlike the stddev z-score
+    (q_outlier_docs_by_length), is itself immune to the outliers it hunts.
+    Discrete quantile rule matches DuckDB ``quantile_disc``:
+    sorted[floor(q*(n-1))].  n_chars has a bounded integer domain, so the
+    exchange is (lang, n_chars) count partials (the bounded-domain
+    bincount path of stages/checks.py) and each lang's median/MAD/outlier
+    count is one cumulative-sum pass over its value census — no per-doc
+    rows move."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["lang", "n_chars"])
+
+    def census(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                           "n_chars": b["n_chars"].to_numpy()})
+        out = df.groupby(["lang", "n_chars"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # DuckDB quantile_disc(0.5): sorted[floor(0.5 * (n - 1))], 0-based
+        n = int(cnts.sum())
+        rank = (n - 1) // 2 + 1      # 1-based target rank
+        cum = np.cumsum(cnts)
+        return int(vals[np.searchsorted(cum, rank)])
+
+    def mad_stats(g):
+        c = g.groupby(["lang", "n_chars"], sort=False)["n"].sum() \
+            .reset_index().sort_values("n_chars")
+        rows = []
+        for lang, sub in c.groupby("lang", sort=True):
+            vals = sub["n_chars"].to_numpy()
+            cnts = sub["n"].to_numpy()
+            med = disc_median(vals, cnts)
+            dev = np.abs(vals - med)
+            # same-dev values collapse (the census stays a census);
+            # np.unique returns dv sorted ascending, as disc_median needs
+            dv, inv = np.unique(dev, return_inverse=True)
+            dc = np.bincount(inv, weights=cnts).astype(np.int64)
+            mad = disc_median(dv, dc)
+            n_out = int(cnts[dev > 2 * mad].sum())
+            rows.append((lang, int(cnts.sum()), med, mad, n_out))
+        return pa.table({
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+            "med_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+            "mad_chars": pa.array([r[3] for r in rows], type=pa.int64()),
+            "n_outliers": pa.array([r[4] for r in rows], type=pa.int64()),
+        })
+
+    out = ds.map_batches(census, batch_format="pyarrow") \
+        .groupby("lang").map_groups(mad_stats, batch_format="pandas")
+    tbl = pa.Table.from_pylist(out.take_all())
+    return pa.table({
+        "lang": pc.cast(tbl["lang"], pa.string()),
+        "n_docs": pc.cast(tbl["n_docs"], pa.int64()),
+        "med_chars": pc.cast(tbl["med_chars"], pa.int64()),
+        "mad_chars": pc.cast(tbl["mad_chars"], pa.int64()),
+        "n_outliers": pc.cast(tbl["n_outliers"], pa.int64()),
+    }).sort_by("lang")
+
+
+SQL_ROBUST_OUTLIER_DOCS_MAD = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang),
+d AS (
+  SELECT doc.lang, abs(doc.n_chars - m.med) AS dev, m.med, m.n_docs
+  FROM documents doc JOIN m USING (lang)),
+md AS (
+  SELECT lang, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY lang)
+SELECT d.lang, ANY_VALUE(d.n_docs) AS n_docs,
+       CAST(ANY_VALUE(d.med) AS BIGINT) AS med_chars,
+       CAST(ANY_VALUE(md.mad) AS BIGINT) AS mad_chars,
+       CAST(COUNT(*) FILTER (WHERE d.dev > 2 * md.mad) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md ON d.lang = md.lang
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4138,6 +4690,19 @@ REGISTRY: dict[str, tuple] = {
                                        SQL_CURATE_EXACT_SUMMARY_DOCUMENTS),
     "cube_lang_source": (q_cube_lang_source, SQL_CUBE_LANG_SOURCE),
     "user_event_paths": (q_user_event_paths, SQL_USER_EVENT_PATHS),
+    "source_vocab_overlap": (q_source_vocab_overlap,
+                            SQL_SOURCE_VOCAB_OVERLAP),
+    "vocab_richness_by_source": (q_vocab_richness_by_source,
+                                 SQL_VOCAB_RICHNESS_BY_SOURCE),
+    "user_event_type_gini": (q_user_event_type_gini,
+                             SQL_USER_EVENT_TYPE_GINI),
+    "late_events_by_type": (q_late_events_by_type, SQL_LATE_EVENTS_BY_TYPE),
+    "user_modal_event_type": (q_user_modal_event_type,
+                              SQL_USER_MODAL_EVENT_TYPE),
+    "cumulative_users_by_day": (q_cumulative_users_by_day,
+                                SQL_CUMULATIVE_USERS_BY_DAY),
+    "robust_outlier_docs_mad": (q_robust_outlier_docs_mad,
+                                SQL_ROBUST_OUTLIER_DOCS_MAD),
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (driver window slots 1-22).  The correctness driver
     # verifies only the FIRST 50 registry entries; the 22 round-3 operators
