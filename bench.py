@@ -166,7 +166,10 @@ def run_bench() -> dict:
              "running_totals_events", "ranked_docs_by_length",
              "semdedup_embeddings", "ngram_jaccard_pairs", "bm25_top_docs",
              "quantiles_by_group", "moving_avg_events",
-             "boilerplate_ngrams", "incremental_dedup", "ann_ivfpq_topk"]
+             "boilerplate_ngrams", "incremental_dedup", "ann_ivfpq_topk",
+             "source_vocab_overlap", "vocab_richness_by_source",
+             "late_events_by_type", "local_supplier_volume",
+             "embedding_dim_stats", "user_modal_event_type"]
     reg = q.queries()
 
     def suite_runner(name):

@@ -102,3 +102,28 @@ def test_disc_median_matches_duckdb(vals):
     rank = (n - 1) // 2 + 1
     got = int(v[np.searchsorted(np.cumsum(c), rank)])
     assert got == want
+
+
+def test_prefix_containment_planted(ray_session, tmp_path):
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_PREFIX_CONTAINMENT_DOCS, q_prefix_containment_docs)
+    texts = ["alpha beta", "alpha beta gamma", "alpha beta gamma delta",
+             "zeta", "zeta eta", "omega", "omega", "kappa mu"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(texts), type=pa.string()),
+        "source": pa.array(["s0"] * len(texts), type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    got = q_prefix_containment_docs(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(SQL_PREFIX_CONTAINMENT_DOCS).df()
+    # distinct texts = 7; prefixes: "alpha beta" -> "... gamma",
+    # "alpha beta gamma" -> "... delta", "zeta" -> "zeta eta"
+    assert got["n_texts"].iloc[0] == 7
+    assert got["n_prefix_texts"].iloc[0] == 3
+    assert got["n_docs_affected"].iloc[0] == 3
+    assert got.equals(want.astype("int64"))
