@@ -4930,33 +4930,28 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def q_prefix_containment_docs(sf_dir: str):
-    """Document-level prefix containment audit (round 5, substring-dedup
-    lite): how many distinct texts are a strict PREFIX of another text
-    (truncated/extended duplicates that exact dedup misses), plus the doc
-    count they cover.  Uses the sorted-successor identity: among distinct
-    sorted texts, A is a prefix of SOME other text iff A's immediate
-    lexicographic successor starts with A (all extensions of A form the
-    contiguous block right after it) — so one distributed sort + one
-    adjacency pass replaces the quadratic LIKE self-join.  The per-block
-    prefix test is the vectorized sandwich ``cur <= nxt <= cur+MAXCHAR``
-    (numpy string compare, no per-row Python); block boundaries hand off
-    through the same O(#blocks) driver fold as global_rank."""
+def _sorted_successor_containment(sorted_ds, key_col: str):
+    """Shared tail of the prefix/suffix containment audits: over a dataset of
+    DISTINCT keys sorted ascending (carrying a ``count()`` column), count how
+    many keys are a strict prefix of their immediate lexicographic successor
+    — which, among distinct sorted strings, is exactly "prefix of SOME other
+    key" (all extensions of A form the contiguous block right after A).  One
+    distributed sort + one adjacency pass replaces the quadratic LIKE
+    self-join.  The per-block prefix test is the vectorized sandwich
+    ``cur <= nxt <= cur+MAXCHAR`` (numpy string compare, no per-row Python);
+    block boundaries hand off through the same O(#blocks) driver fold as
+    global_rank."""
     import ray
-
-    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
-    distinct = ds.groupby("text").count()  # (text, count()) distinct texts
-    sorted_ds = distinct.sort("text").materialize()
 
     firsts = sorted_ds.map_batches(
         lambda b: pa.table({
-            "first_text": b["text"].slice(0, min(1, b.num_rows))}),
+            "first_key": b[key_col].slice(0, min(1, b.num_rows))}),
         batch_format="pyarrow").take_all()
-    firsts.sort(key=lambda r: r["first_text"])
+    firsts.sort(key=lambda r: r["first_key"])
     nxt_first: dict = {}
     for i, r in enumerate(firsts):
-        nxt_first[r["first_text"]] = (
-            firsts[i + 1]["first_text"] if i + 1 < len(firsts) else None)
+        nxt_first[r["first_key"]] = (
+            firsts[i + 1]["first_key"] if i + 1 < len(firsts) else None)
     nxt_ref = ray.put(nxt_first)
 
     MAXCHAR = "\U0010ffff"
@@ -4966,7 +4961,7 @@ def q_prefix_containment_docs(sf_dir: str):
             return pa.table({"n_texts": pa.array([], type=pa.int64()),
                              "n_prefix_texts": pa.array([], type=pa.int64()),
                              "n_docs_affected": pa.array([], type=pa.int64())})
-        cur = b["text"].to_numpy(zero_copy_only=False)
+        cur = b[key_col].to_numpy(zero_copy_only=False)
         cnt = b["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
         after = ray.get(nxt_ref)[str(cur[0])]
         nxt = np.empty_like(cur)
@@ -4986,13 +4981,25 @@ def q_prefix_containment_docs(sf_dir: str):
 
     parts = sorted_ds.map_batches(adjacency, batch_format="pyarrow") \
         .take_all()
+    return (sum(r["n_texts"] for r in parts),
+            sum(r["n_prefix_texts"] for r in parts),
+            sum(r["n_docs_affected"] for r in parts))
+
+
+def q_prefix_containment_docs(sf_dir: str):
+    """Document-level prefix containment audit (round 5, substring-dedup
+    lite): how many distinct texts are a strict PREFIX of another text
+    (truncated/extended duplicates that exact dedup misses), plus the doc
+    count they cover.  Sorted-successor identity — see
+    _sorted_successor_containment."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    distinct = ds.groupby("text").count()  # (text, count()) distinct texts
+    sorted_ds = distinct.sort("text").materialize()
+    n_texts, n_pref, n_docs = _sorted_successor_containment(sorted_ds, "text")
     return pa.table({
-        "n_texts": pa.array([sum(r["n_texts"] for r in parts)],
-                            type=pa.int64()),
-        "n_prefix_texts": pa.array(
-            [sum(r["n_prefix_texts"] for r in parts)], type=pa.int64()),
-        "n_docs_affected": pa.array(
-            [sum(r["n_docs_affected"] for r in parts)], type=pa.int64()),
+        "n_texts": pa.array([n_texts], type=pa.int64()),
+        "n_prefix_texts": pa.array([n_pref], type=pa.int64()),
+        "n_docs_affected": pa.array([n_docs], type=pa.int64()),
     })
 
 
@@ -5005,6 +5012,245 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
        CAST(COALESCE(SUM(n) FILTER (WHERE nxt IS NOT NULL
             AND starts_with(nxt, text)), 0) AS BIGINT) AS n_docs_affected
 FROM s
+"""
+
+
+def q_suffix_containment_docs(sf_dir: str):
+    """Suffix containment audit (round 5): how many distinct texts are a
+    strict SUFFIX of another text — prepended-header / quoted-reply
+    duplicates that prefix containment misses.  Reverse every distinct text
+    once (Arrow utf8_reverse, codepoint order like DuckDB reverse()), then
+    the problem IS prefix containment on the reversed keys, so the same
+    sorted-successor adjacency pass applies (_sorted_successor_containment);
+    nothing quadratic, one sort of the distinct texts."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    distinct = ds.groupby("text").count()
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"rt": pc.utf8_reverse(b["text"]),
+                         "count()": b["count()"]})
+
+    sorted_ds = distinct.map_batches(rev, batch_format="pyarrow") \
+        .sort("rt").materialize()
+    n_texts, n_suf, n_docs = _sorted_successor_containment(sorted_ds, "rt")
+    return pa.table({
+        "n_texts": pa.array([n_texts], type=pa.int64()),
+        "n_suffix_texts": pa.array([n_suf], type=pa.int64()),
+        "n_docs_affected": pa.array([n_docs], type=pa.int64()),
+    })
+
+
+SQL_SUFFIX_CONTAINMENT_DOCS = """
+WITH t AS (SELECT reverse(text) AS rt, COUNT(*) AS n
+           FROM documents GROUP BY text),
+s AS (SELECT rt, n, LEAD(rt) OVER (ORDER BY rt) AS nxt FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
+       CAST(COUNT(*) FILTER (WHERE nxt IS NOT NULL
+            AND starts_with(nxt, rt)) AS BIGINT) AS n_suffix_texts,
+       CAST(COALESCE(SUM(n) FILTER (WHERE nxt IS NOT NULL
+            AND starts_with(nxt, rt)), 0) AS BIGINT) AS n_docs_affected
+FROM s
+"""
+
+
+def q_slow_ship_priority_counts(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join (round 5): per order priority, how
+    many orders placed in one quarter have AT LEAST ONE lineitem that
+    shipped more than 60 days after the order date.  Ray-first: the
+    quarter-filtered orders (okey, orderdate, priority) broadcast once via
+    ray.put as sorted arrays (one quarter is a small fraction of the
+    orders table; above the broadcast limit the same probe runs as a hash
+    join, cf. q_join_orders_customers); lineitem streams through a
+    searchsorted probe emitting per-batch DISTINCT late orderkeys, so the
+    ONE shuffle is a groupby over distinct late keys — never the raw
+    lineitems.  The semi-join "at least one" is the groupby itself."""
+    import datetime
+
+    import ray
+
+    rd = _rd()
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def quarter_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                                pc.less(b["o_orderdate"], hi)))
+
+    o = pa.Table.from_pylist(
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+        .map_batches(quarter_only, batch_format="pyarrow")
+        .take_all())
+    okey = o["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    odate = o["o_orderdate"].cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    prios = sorted(set(o["o_orderpriority"].to_pylist()))
+    pcode = {p: i for i, p in enumerate(prios)}
+    oprio = np.array([pcode[p] for p in o["o_orderpriority"].to_pylist()],
+                     dtype=np.int64)
+    order = np.argsort(okey)
+    build_ref = ray.put((okey[order], odate[order], oprio[order]))
+
+    LATE_US = 60 * 86_400 * 1_000_000  # 60 days in timestamp[us] ticks
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys, dates, prio = ray.get(build_ref)
+        lk = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                             "prio_code": pa.array([], type=pa.int64())})
+        idx = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+        hit = keys[idx] == lk
+        late = hit & (sd > dates[idx] + LATE_US)
+        # per-batch distinct so the exchange carries each (order, batch)
+        # key once, not once per late lineitem
+        uk, first = np.unique(lk[late], return_index=True)
+        return pa.table({
+            "o_orderkey": pa.array(uk, type=pa.int64()),
+            "prio_code": pa.array(prio[idx[late][first]], type=pa.int64()),
+        })
+
+    late_keys = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(probe, batch_format="pyarrow")
+
+    # distinct late orders (priority is functionally dependent on the key,
+    # so max() just carries it), then a bounded-key combiner count
+    per_order = late_keys.groupby("o_orderkey").max("prio_code")
+    def prio_counts(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "prio_code": np.arange(len(prios), dtype=np.int64),
+            "n": np.bincount(
+                b["max(prio_code)"].to_numpy(zero_copy_only=False)
+                .astype(np.int64), minlength=len(prios)).astype(np.int64),
+        })
+
+    parts = per_order.map_batches(
+        prio_counts, batch_format="pyarrow").take_all()
+    tot = np.zeros(len(prios), dtype=np.int64)
+    for r in parts:
+        tot[r["prio_code"]] += r["n"]
+    keep = tot > 0
+    return pa.table({
+        "o_orderpriority": pa.array(
+            [p for p, k in zip(prios, keep) if k], type=pa.string()),
+        "n_orders": pa.array(tot[keep], type=pa.int64()),
+    })
+
+
+SQL_SLOW_SHIP_PRIORITY_COUNTS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_min_price_supplier_per_part(sf_dir: str):
+    """Per-part cheapest supplier (round 5, TPC-H Q2-shaped argmin join
+    without a partsupp table): for every part seen in lineitem, the
+    minimum extended price offered and the supplier offering it
+    (deterministic tie-break: lowest suppkey).  The argmin rides ONE int64
+    — enc = price_cents * 2^20 + suppkey — so a plain distributed
+    min-groupby is the whole operator: per-batch Arrow combiner, one
+    shuffle over distinct partkeys, decode driver-free in the final map.
+    The 2^20 suppkey width is a documented packing assumption (suppkey <
+    1,048,576); at larger key spaces widen the encoding or switch the
+    combiner to a two-column lexicographic min."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = pc.add(
+            pc.multiply(_cents(b["l_extendedprice"]),
+                        pa.scalar(1 << 20, type=pa.int64())),
+            pc.cast(b["l_suppkey"], pa.int64()))
+        t = pa.table({"l_partkey": b["l_partkey"], "enc": enc})
+        return t.group_by("l_partkey").aggregate([("enc", "min")]) \
+            .rename_columns(["l_partkey", "enc"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_partkey").min("enc")
+
+    def decode(b: pa.Table) -> pa.Table:
+        enc = b["min(enc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "min_price_c": pa.array(enc >> 20, type=pa.int64()),
+            "best_suppkey": pa.array(enc & ((1 << 20) - 1),
+                                     type=pa.int64()),
+        })
+
+    tbl = pa.Table.from_pylist(
+        out.map_batches(decode, batch_format="pyarrow").take_all())
+    return pa.table({
+        "l_partkey": pc.cast(tbl["l_partkey"], pa.int64()),
+        "min_price_c": pc.cast(tbl["min_price_c"], pa.int64()),
+        "best_suppkey": pc.cast(tbl["best_suppkey"], pa.int64()),
+    }).sort_by("l_partkey")
+
+
+SQL_MIN_PRICE_SUPPLIER_PER_PART = """
+WITH e AS (SELECT l_partkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) * 1048576
+                  + l_suppkey AS enc
+           FROM lineitem),
+m AS (SELECT l_partkey, MIN(enc) AS menc FROM e GROUP BY l_partkey)
+SELECT l_partkey, CAST(menc // 1048576 AS BIGINT) AS min_price_c,
+       CAST(menc % 1048576 AS BIGINT) AS best_suppkey
+FROM m ORDER BY l_partkey
+"""
+
+
+def q_source_concentration(sf_dir: str):
+    """Corpus concentration audit (round 5): Herfindahl–Hirschman index and
+    top-source share of the documents table — the "is one crawl dominating
+    the mix" check run before fixing training-mixture weights.  Per-batch
+    source-count combiner, driver folds O(sources) partials and does the
+    ratio arithmetic in Python big ints (sum(n_i^2)*1e12 overflows int64 at
+    web scale; the driver-side fold is exact at any corpus size), emitting
+    int64-safe scaled ratios."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"]})
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    counts: dict = {}
+    for r in parts:
+        counts[r["source"]] = counts.get(r["source"], 0) + int(r["n"])
+    total = sum(counts.values())
+    sum_sq = sum(int(n) * int(n) for n in counts.values())
+    top = max(counts.values()) if counts else 0
+    return pa.table({
+        "n_sources": pa.array([len(counts)], type=pa.int64()),
+        "total_docs": pa.array([total], type=pa.int64()),
+        "hhi_x1e12": pa.array(
+            [sum_sq * 10**12 // (total * total) if total else 0],
+            type=pa.int64()),
+        "top_share_x1e6": pa.array(
+            [top * 10**6 // total if total else 0], type=pa.int64()),
+    })
+
+
+SQL_SOURCE_CONCENTRATION = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(n) AS BIGINT) AS total_docs,
+       CAST(SUM(CAST(n AS HUGEINT) * n) * 1000000000000
+            // (SUM(CAST(n AS HUGEINT)) * SUM(n)) AS BIGINT) AS hhi_x1e12,
+       CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS top_share_x1e6
+FROM c
 """
 
 
@@ -5041,6 +5287,14 @@ REGISTRY: dict[str, tuple] = {
                              SQL_HOURLY_EVENT_PROFILE),
     "prefix_containment_docs": (q_prefix_containment_docs,
                                 SQL_PREFIX_CONTAINMENT_DOCS),
+    "suffix_containment_docs": (q_suffix_containment_docs,
+                                SQL_SUFFIX_CONTAINMENT_DOCS),
+    "slow_ship_priority_counts": (q_slow_ship_priority_counts,
+                                  SQL_SLOW_SHIP_PRIORITY_COUNTS),
+    "min_price_supplier_per_part": (q_min_price_supplier_per_part,
+                                    SQL_MIN_PRICE_SUPPLIER_PER_PART),
+    "source_concentration": (q_source_concentration,
+                             SQL_SOURCE_CONCENTRATION),
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (driver window slots 1-22).  The correctness driver
     # verifies only the FIRST 50 registry entries; the 22 round-3 operators
