@@ -5254,6 +5254,286 @@ FROM c
 """
 
 
+def q_user_burst_max(sf_dir: str):
+    """Per-user burstiness (round 5): each user's busiest hour — the max
+    events in any one wall-clock hour, plus WHICH hour (deterministic
+    tie-break: earliest).  The argmax rides one int64 — enc = n * 2^40 +
+    (2^40-1 - hour_index) — so the whole operator is two bounded
+    min/max-groupbys: per-(user,hour) counts from per-batch Arrow
+    combiners, then a per-user max over the encoded pair.  hour_index =
+    epoch_us // 3600e6 stays < 2^40 until year ~127k, and the encoding
+    holds while n < 2^23 events/user/hour (documented packing bound)."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    SHIFT = np.int64(1) << 40
+    MASK = SHIFT - 1
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        hr = pc.divide(pc.cast(b["ts"], pa.int64()),
+                       pa.scalar(3_600_000_000, type=pa.int64()))
+        t = pa.table({"user_id": b["user_id"], "hr": hr})
+        return t.group_by(["user_id", "hr"]).aggregate([([], "count_all")]) \
+            .rename_columns(["user_id", "hr", "n"])
+
+    per_hour = ds.map_batches(hour_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "hr"]).sum("n")
+
+    def enc_partial(b: pa.Table) -> pa.Table:
+        n = b["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = b["hr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = n * SHIFT + (MASK - hr)
+        t = pa.table({"user_id": b["user_id"],
+                      "enc": pa.array(enc, type=pa.int64())})
+        return t.group_by("user_id").aggregate([("enc", "max")]) \
+            .rename_columns(["user_id", "enc"])
+
+    out = per_hour.map_batches(enc_partial, batch_format="pyarrow") \
+        .groupby("user_id").max("enc")
+
+    def decode(b: pa.Table) -> pa.Table:
+        enc = b["max(enc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "max_hourly_events": pa.array(enc >> 40, type=pa.int64()),
+            "peak_hour_idx": pa.array(MASK - (enc & MASK), type=pa.int64()),
+        })
+
+    tbl = pa.Table.from_pylist(
+        out.map_batches(decode, batch_format="pyarrow").take_all())
+    return pa.table({
+        "user_id": pc.cast(tbl["user_id"], pa.int64()),
+        "max_hourly_events": pc.cast(tbl["max_hourly_events"], pa.int64()),
+        "peak_hour_idx": pc.cast(tbl["peak_hour_idx"], pa.int64()),
+    }).sort_by("user_id")
+
+
+SQL_USER_BURST_MAX = """
+WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+e AS (SELECT user_id,
+             MAX(n * 1099511627776 + (1099511627775 - hr)) AS enc
+      FROM h GROUP BY user_id)
+SELECT user_id, CAST(enc // 1099511627776 AS BIGINT) AS max_hourly_events,
+       CAST(1099511627775 - (enc % 1099511627776) AS BIGINT)
+           AS peak_hour_idx
+FROM e ORDER BY user_id
+"""
+
+
+def q_event_followups(sf_dir: str):
+    """Temporal self-join (round 5): for every ordered pair of event types
+    (a, b), how many times the SAME user fired b strictly after a within a
+    5-minute window — the co-occurrence matrix behind "what happens right
+    after an error".  Ray-first banded self-join: events co-partition into
+    size-derived USER buckets (one shuffle; a user's history lives in one
+    group), and inside each bucket the pair enumeration is fully
+    vectorized — rows sort by a fused (user, t) int64 key, two
+    searchsorted calls bound each row's follower span, and the ragged
+    [lo_i, hi_i) ranges unrank through the standard cumsum trick straight
+    into a bincount over fused type-code pairs.  The exchange after the
+    bucket stage is O(T^2) partials, never pairs."""
+    from .dedup import _group_by_key_buckets  # noqa: F401  (pattern ref)
+
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+    W_US = 300 * 1_000_000  # 5-minute follow-up window
+    T_SHIFT = np.int64(1) << 45  # fused (user, t-offset) sort key width
+
+    def pair_counts(g):
+        u, ucodes = np.unique(np.asarray(g["user_id"]), return_inverse=True)
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        e, ecodes = np.unique(np.asarray(g["event_type"]),
+                              return_inverse=True)
+        tmin = t.min()
+        key = ucodes.astype(np.int64) * T_SHIFT + (t - tmin)
+        order = np.argsort(key, kind="stable")
+        key, ec = key[order], ecodes[order]
+        # follower span of row i: strictly-later rows of the same user
+        # within W_US (same-timestamp rows excluded on both sides)
+        lo = np.searchsorted(key, key, side="right")
+        hi = np.searchsorted(key, key + W_US, side="right")
+        # a +W window that would cross into the next user's key range is
+        # impossible while t-range < T_SHIFT - W (synth span ~ days); guard
+        # for safety at weird inputs
+        user_end = np.searchsorted(key // T_SHIFT, key // T_SHIFT,
+                                   side="right")
+        hi = np.minimum(hi, user_end)
+        spans = hi - lo
+        total = int(spans.sum())
+        T = len(e)
+        if total == 0:
+            return pa.table({"type_a": pa.array([], type=pa.string()),
+                             "type_b": pa.array([], type=pa.string()),
+                             "n_pairs": pa.array([], type=pa.int64())})
+        idx_a = np.repeat(np.arange(len(key)), spans)
+        idx_b = (np.arange(total)
+                 - np.repeat(np.cumsum(spans) - spans, spans)
+                 + np.repeat(lo, spans))
+        fused = ec[idx_a] * T + ec[idx_b]
+        cnt = np.bincount(fused, minlength=T * T).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "type_a": pa.array(e[nz // T], type=pa.string()),
+            "type_b": pa.array(e[nz % T], type=pa.string()),
+            "n_pairs": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    parts = (ds.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket").map_groups(pair_counts,
+                                             batch_format="pandas")
+               .take_all())
+    agg: dict = {}
+    for r in parts:
+        k = (r["type_a"], r["type_b"])
+        agg[k] = agg.get(k, 0) + r["n_pairs"]
+    keys = sorted(agg)
+    return pa.table({
+        "type_a": pa.array([k[0] for k in keys], type=pa.string()),
+        "type_b": pa.array([k[1] for k in keys], type=pa.string()),
+        "n_pairs": pa.array([agg[k] for k in keys], type=pa.int64()),
+    })
+
+
+SQL_EVENT_FOLLOWUPS = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_doc_length_gini(sf_dir: str):
+    """Corpus length-inequality audit (round 5): the exact Gini coefficient
+    of document lengths — the "is the token budget dominated by a few huge
+    documents" check behind packing and truncation policy.  Composes the
+    existing global_rank machinery (one skinny 2-column sort + O(#blocks)
+    offset fold) with per-block integer partials; rank*x products split
+    into hi/lo int64 lanes (rank // 2^31 and rank % 2^31) so block sums
+    cannot overflow at any corpus size, and the driver reassembles exact
+    big ints.  gini_x1e9 = (2*S1 - (n+1)*S0) * 1e9 // (n*S0) over ranks
+    1..n of the ascending sort — bit-equal to the SQL window oracle."""
+    from .rank import global_rank
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "n_chars"])
+    ranked = global_rank(ds, key_column="n_chars", id_column="doc_id",
+                         descending=False, rank_name="rnk")
+    LANE = np.int64(1) << 31
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "s0": pa.array([int(x.sum())], type=pa.int64()),
+            "s1_hi": pa.array([int(((r // LANE) * x).sum())],
+                              type=pa.int64()),
+            "s1_lo": pa.array([int(((r % LANE) * x).sum())],
+                              type=pa.int64()),
+        })
+
+    parts = ranked.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    s0 = sum(r["s0"] for r in parts)
+    s1 = sum(r["s1_hi"] for r in parts) * (1 << 31) \
+        + sum(r["s1_lo"] for r in parts)
+    gini = (2 * s1 - (n + 1) * s0) * 10**9 // (n * s0) if n and s0 else 0
+    return pa.table({
+        "n_docs": pa.array([n], type=pa.int64()),
+        "sum_chars": pa.array([s0], type=pa.int64()),
+        "gini_x1e9": pa.array([gini], type=pa.int64()),
+    })
+
+
+SQL_DOC_LENGTH_GINI = """
+WITH r AS (SELECT n_chars,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS i
+           FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST((2 * SUM(CAST(i AS HUGEINT) * n_chars)
+             - (COUNT(*) + 1) * SUM(CAST(n_chars AS HUGEINT)))
+            * 1000000000
+            // (COUNT(*) * SUM(CAST(n_chars AS HUGEINT))) AS BIGINT)
+           AS gini_x1e9
+FROM r
+"""
+
+
+def q_vocab_growth_curve(sf_dir: str):
+    """Heaps-law vocabulary growth (round 5): how many NEW distinct tokens
+    each decile of the corpus (by doc_id order) contributes, plus the
+    cumulative vocabulary — the "has the crawl stopped teaching us words"
+    curve that sizes tokenizer vocabularies.  First-occurrence is a
+    distributed idiom, not a scan-in-order: per-batch (token, min doc_id)
+    Arrow combiners, ONE groupby-min over the token key, then a bounded
+    10-bin bincount; the driver folds O(blocks x 10) partials and runs the
+    cumulative sum over ten numbers."""
+    from ..stages.text import split_tokens_arrow
+
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    total = ds.count()
+
+    def first_seen_partial(b: pa.Table) -> pa.Table:
+        _, flat, parent = split_tokens_arrow(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"token": flat,
+                      "doc_id": pa.array(ids[parent], type=pa.int64())})
+        t = t.filter(pc.and_kleene(pc.is_valid(t["token"]),
+                                   pc.not_equal(t["token"], "")))
+        return t.group_by("token").aggregate([("doc_id", "min")]) \
+            .rename_columns(["token", "doc_id"])
+
+    first = ds.map_batches(first_seen_partial, batch_format="pyarrow") \
+        .groupby("token").min("doc_id")
+
+    def decile_partial(b: pa.Table) -> pa.Table:
+        fd = b["min(doc_id)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dec = np.minimum(fd * 10 // total, 9)
+        return pa.table({
+            "decile": pa.array(np.arange(10), type=pa.int64()),
+            "new_tokens": pa.array(
+                np.bincount(dec, minlength=10).astype(np.int64),
+                type=pa.int64()),
+        })
+
+    parts = first.map_batches(decile_partial, batch_format="pyarrow") \
+        .take_all()
+    tot = np.zeros(10, dtype=np.int64)
+    for r in parts:
+        tot[r["decile"]] += r["new_tokens"]
+    cum = np.cumsum(tot)
+    keep = tot > 0
+    return pa.table({
+        "decile": pa.array(np.arange(10)[keep], type=pa.int64()),
+        "new_tokens": pa.array(tot[keep], type=pa.int64()),
+        "cum_tokens": pa.array(cum[keep], type=pa.int64()),
+    })
+
+
+SQL_VOCAB_GROWTH_CURVE = r"""
+WITH d AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents WHERE trim(text) <> ''),
+f AS (SELECT token, MIN(doc_id) AS fd FROM d GROUP BY token),
+b AS (SELECT LEAST(fd * 10 // (SELECT COUNT(*) FROM documents), 9)
+             AS decile, COUNT(*) AS new_tokens
+      FROM f GROUP BY 1)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(new_tokens AS BIGINT) AS new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens
+FROM b ORDER BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5295,6 +5575,10 @@ REGISTRY: dict[str, tuple] = {
                                     SQL_MIN_PRICE_SUPPLIER_PER_PART),
     "source_concentration": (q_source_concentration,
                              SQL_SOURCE_CONCENTRATION),
+    "user_burst_max": (q_user_burst_max, SQL_USER_BURST_MAX),
+    "event_followups": (q_event_followups, SQL_EVENT_FOLLOWUPS),
+    "doc_length_gini": (q_doc_length_gini, SQL_DOC_LENGTH_GINI),
+    "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH_CURVE),
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (driver window slots 1-22).  The correctness driver
     # verifies only the FIRST 50 registry entries; the 22 round-3 operators

@@ -127,3 +127,68 @@ def test_prefix_containment_planted(ray_session, tmp_path):
     assert got["n_prefix_texts"].iloc[0] == 3
     assert got["n_docs_affected"].iloc[0] == 3
     assert got.equals(want.astype("int64"))
+
+
+def test_event_followups_planted(ray_session, tmp_path):
+    """Window boundary (b.ts == a.ts + 300s is IN), strict order (equal ts
+    excluded), and cross-user isolation, vs the SQL self-join."""
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_EVENT_FOLLOWUPS, q_event_followups)
+    us = 1_000_000
+    rows = [
+        # user 1: click at t0, view at +300s (boundary: counted),
+        # error at +301s (outside click's window, inside view's)
+        (1, 0, "click"), (1, 300 * us, "view"), (1, 301 * us, "error"),
+        # user 2: two events with EQUAL ts -> no pair either direction
+        (2, 1000 * us, "click"), (2, 1000 * us, "view"),
+        # user 3 right after user 2's times: must not pair cross-user
+        (3, 1001 * us, "error"),
+    ]
+    base = np.datetime64("2026-01-01T00:00:00", "us").astype(np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([base + r[1] for r in rows],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_event_followups(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.sql(SQL_EVENT_FOLLOWUPS).df()
+    pairs = {(r.type_a, r.type_b): r.n_pairs for r in got.itertuples()}
+    assert pairs == {("click", "view"): 1, ("view", "error"): 1}
+    want_pairs = {(r.type_a, r.type_b): r.n_pairs for r in want.itertuples()}
+    assert pairs == want_pairs
+
+
+def test_doc_length_gini_known(ray_session, tmp_path):
+    """Hand-checked Gini: lengths [1,1,1,1] -> 0; [0-ish skew] matches the
+    closed form on a tiny planted corpus."""
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_DOC_LENGTH_GINI, q_doc_length_gini)
+    lens = [10, 10, 10, 10]
+    def write(lengths):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(lengths)), type=pa.int64()),
+            "text": pa.array(["x" * n for n in lengths], type=pa.string()),
+            "lang": pa.array(["en"] * len(lengths), type=pa.string()),
+            "source": pa.array(["s"] * len(lengths), type=pa.string()),
+            "n_chars": pa.array(lengths, type=pa.int64()),
+        }), str(tmp_path / "documents.parquet"))
+    write(lens)
+    assert q_doc_length_gini(str(tmp_path))["gini_x1e9"][0].as_py() == 0
+    lens = [1, 2, 3, 4, 90]
+    write(lens)
+    got = q_doc_length_gini(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(SQL_DOC_LENGTH_GINI).df()
+    assert got["gini_x1e9"][0].as_py() == int(want["gini_x1e9"].iloc[0])
+    # closed form: n=5, S0=100, S1=1*1+2*2+3*3+4*4+5*90 = 480
+    assert got["gini_x1e9"][0].as_py() == (2 * 480 - 6 * 100) * 10**9 // 500
