@@ -5534,6 +5534,343 @@ FROM b ORDER BY decile
 """
 
 
+def q_rolling_week_active_users(sf_dir: str):
+    """Exact rolling 7-day distinct users (round 5): for every active day w,
+    COUNT(DISTINCT user) over [w-6, w] — the sliding-window distinct that
+    naive windowing can't do because distinct doesn't decompose.  It DOES
+    decompose per user: a user with event days D is active in window w iff
+    w hits the interval union of [d, d+6] for d in D, so each user-bucket
+    emits merged-interval DIFFERENCE-ARRAY deltas (+1 at segment start, -1
+    past segment end — fully vectorized run detection, no per-user loop),
+    and the driver cumsums O(days) numbers.  One shuffle (the user
+    co-partition); the exchange is O(segments), never user-day pairs."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+    DAY_US = 86_400_000_000
+
+    def deltas(g):
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        d = (g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+             // DAY_US)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # distinct (user, day)
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        # merged cover-intervals [d, d+6]: new segment when user changes or
+        # the gap exceeds the window width
+        new_seg = np.ones(len(u), dtype=bool)
+        new_seg[1:] = (u[1:] != u[:-1]) | (d[1:] > d[:-1] + 6)
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], len(u)) - 1
+        seg_start = d[starts]
+        seg_stop = d[ends] + 7  # exclusive
+        days_seen = np.unique(d)
+        return pa.table({
+            "day": pa.array(np.concatenate([seg_start, seg_stop, days_seen]),
+                            type=pa.int64()),
+            "delta": pa.array(np.concatenate([
+                np.ones(len(seg_start), dtype=np.int64),
+                -np.ones(len(seg_stop), dtype=np.int64),
+                np.zeros(len(days_seen), dtype=np.int64)]),
+                type=pa.int64()),
+            # ride the active-day set in the same partial (delta 0 rows)
+            "is_active_day": pa.array(np.concatenate([
+                np.zeros(len(seg_start) + len(seg_stop), dtype=np.int64),
+                np.ones(len(days_seen), dtype=np.int64)]),
+                type=pa.int64()),
+        })
+
+    parts = (ds.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket").map_groups(deltas, batch_format="pandas")
+               .take_all())
+    acc: dict = {}
+    active: set = set()
+    for r in parts:
+        acc[r["day"]] = acc.get(r["day"], 0) + r["delta"]
+        if r["is_active_day"]:
+            active.add(r["day"])
+    days = sorted(acc)
+    run = 0
+    counts: dict = {}
+    for day in days:
+        run += acc[day]
+        counts[day] = run
+    # the rolling count at active day w reads the cumsum at w; days between
+    # breakpoints inherit the previous breakpoint's value
+    out_days = sorted(active)
+    vals = []
+    import bisect
+    for w in out_days:
+        i = bisect.bisect_right(days, w) - 1
+        vals.append(counts[days[i]] if i >= 0 else 0)
+    return pa.table({
+        "day_idx": pa.array(out_days, type=pa.int64()),
+        "n_active": pa.array(vals, type=pa.int64()),
+    })
+
+
+SQL_ROLLING_WEEK_ACTIVE_USERS = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+            FROM events),
+ws AS (SELECT DISTINCT d AS w FROM ud)
+SELECT CAST(w AS BIGINT) AS day_idx,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM ws JOIN ud ON ud.d BETWEEN ws.w - 6 AND ws.w
+GROUP BY w ORDER BY w
+"""
+
+
+def q_small_qty_part_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-order revenue (round 5): total revenue of
+    lineitems whose quantity is below 20% of their part's average quantity
+    — the "long-tail order" audit.  The per-part average never divides:
+    q < sum_q/(5*cnt) is evaluated as the pure-integer cross-multiplication
+    5*q*cnt < sum_q (quantities are integral), so both passes are exact.
+    Pass 1 builds per-part (cnt, sum_q) with per-batch combiners and ONE
+    bounded groupby; the tiny per-part table broadcasts via ray.put and
+    pass 2 streams lineitem through a searchsorted probe + filter + sum —
+    no big-big join anywhere."""
+    import ray
+
+    rd = _rd()
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_partkey": b["l_partkey"],
+            "q": pc.cast(b["l_quantity"], pa.int64()),
+        })
+        return t.group_by("l_partkey").aggregate(
+            [("q", "count"), ("q", "sum")]) \
+            .rename_columns(["l_partkey", "cnt", "sum_q"])
+
+    stats = pa.Table.from_pylist(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_quantity"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("l_partkey").sum(["cnt", "sum_q"]).take_all())
+    pk = stats["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    stats_ref = ray.put((
+        pk[order],
+        stats["sum(cnt)"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)[order],
+        stats["sum(sum_q)"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)[order]))
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys, cnt, sum_q = ray.get(stats_ref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, lp)  # every partkey is in the census
+        small = 5 * q * cnt[idx] < sum_q[idx]
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n_small": pa.array([int(small.sum())], type=pa.int64()),
+            "revenue_c": pa.array([int(ext_c[small].sum())],
+                                  type=pa.int64()),
+        })
+
+    parts = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(probe, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_small": pa.array([sum(r["n_small"] for r in parts)],
+                            type=pa.int64()),
+        "revenue_c": pa.array([sum(r["revenue_c"] for r in parts)],
+                              type=pa.int64()),
+    })
+
+
+SQL_SMALL_QTY_PART_REVENUE = """
+WITH s AS (SELECT l_partkey, COUNT(*) AS cnt,
+                  SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+           FROM lineitem GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM lineitem JOIN s USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_q
+"""
+
+
+def q_order_reconciliation(sf_dir: str):
+    """Cross-table reconciliation audit (round 5): does o_totalprice equal
+    the order's lineitem charges sum(ext*(1-disc)*(1+tax)) rounded to
+    cents?  The data-quality invariant check run between ingestion stages.
+    Charges stay exact integers end-to-end — ext_cents*(100-d)*(100+t) is
+    x1e6 — per-order sums come from per-batch combiners + ONE groupby over
+    orderkeys, and the orders side joins in via the hash join (both sides
+    skinny 2-column tables).  Half-away-from-zero cent rounding matches
+    DuckDB round()."""
+    rd = _rd()
+
+    def charge_partial(b: pa.Table) -> pa.Table:
+        ext = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        t = pc.cast(pc.round(pc.multiply(b["l_tax"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        charge = ext * (100 - d) * (100 + t)
+        tbl = pa.table({"o_orderkey": b["l_orderkey"],
+                        "charge_x1e6": pa.array(charge, type=pa.int64())})
+        return tbl.group_by("o_orderkey").aggregate(
+            [("charge_x1e6", "sum")]) \
+            .rename_columns(["o_orderkey", "charge_x1e6"])
+
+    charges = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"]) \
+        .map_batches(charge_partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").sum("charge_x1e6")
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "tp_c": _cents(b["o_totalprice"])}),
+            batch_format="pyarrow")
+
+    nparts = max(2, _conc())
+    joined = charges.repartition(nparts).join(
+        orders.repartition(nparts), join_type="inner",
+        num_partitions=nparts, on=("o_orderkey",))
+
+    def verdict_partial(b: pa.Table) -> pa.Table:
+        s = b["sum(charge_x1e6)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tp = b["tp_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        matched = (s + 5000) // 10000 == tp  # half-away-from-zero cents
+        return pa.table({
+            "n_orders": pa.array([len(s)], type=pa.int64()),
+            "n_matched": pa.array([int(matched.sum())], type=pa.int64()),
+        })
+
+    parts = joined.map_batches(verdict_partial,
+                               batch_format="pyarrow").take_all()
+    n = sum(r["n_orders"] for r in parts)
+    m = sum(r["n_matched"] for r in parts)
+    return pa.table({
+        "n_orders": pa.array([n], type=pa.int64()),
+        "n_matched": pa.array([m], type=pa.int64()),
+        "n_mismatched": pa.array([n - m], type=pa.int64()),
+    })
+
+
+SQL_ORDER_RECONCILIATION = """
+WITH c AS (SELECT l_orderkey,
+                  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                  AS charge_x1e6
+           FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE (charge_x1e6 + 5000) // 10000
+            = CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS n_matched,
+       CAST(COUNT(*) FILTER (WHERE (charge_x1e6 + 5000) // 10000
+            <> CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS n_mismatched
+FROM orders JOIN c ON o_orderkey = l_orderkey
+"""
+
+
+def q_interarrival_stats_by_type(sf_dir: str):
+    """Per-type inter-arrival statistics (round 5): gaps between consecutive
+    events of the SAME user and type (LAG OVER (PARTITION BY user, type
+    ORDER BY ts, event_id)), aggregated per type as exact-microsecond
+    count/sum/min/max — the arrival-process profile behind rate-limit and
+    session-timeout tuning.  User-bucketed co-partition, one lexsort +
+    masked diff per bucket (no per-partition loop), bounded per-type
+    partials to the driver."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    bucketize = _user_bucket_fn(_window_buckets(ds.count()))
+
+    def gaps(g):
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        eid = np.asarray(g["event_id"], dtype=np.int64)
+        types, ecode = np.unique(np.asarray(g["event_type"]),
+                                 return_inverse=True)
+        order = np.lexsort((eid, t, ecode, u))
+        u, t, ecode = u[order], t[order], ecode[order]
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = (u[1:] == u[:-1]) & (ecode[1:] == ecode[:-1])
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        gi = np.flatnonzero(same)
+        if len(gi) == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_gaps": pa.array([], type=pa.int64()),
+                "sum_gap_us": pa.array([], type=pa.int64()),
+                "min_gap_us": pa.array([], type=pa.int64()),
+                "max_gap_us": pa.array([], type=pa.int64())})
+        code, g_us = ecode[gi], gap[gi]
+        T = len(types)
+        n = np.bincount(code, minlength=T)
+        # exact integer sums per type (bincount weights would be float64)
+        s_exact = np.zeros(T, dtype=np.int64)
+        np.add.at(s_exact, code, g_us)
+        mn = np.full(T, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, code, g_us)
+        mx = np.full(T, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, code, g_us)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "event_type": pa.array(types[nz], type=pa.string()),
+            "n_gaps": pa.array(n[nz].astype(np.int64), type=pa.int64()),
+            "sum_gap_us": pa.array(s_exact[nz], type=pa.int64()),
+            "min_gap_us": pa.array(mn[nz], type=pa.int64()),
+            "max_gap_us": pa.array(mx[nz], type=pa.int64()),
+        })
+
+    parts = (ds.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket").map_groups(gaps, batch_format="pandas")
+               .take_all())
+    agg: dict = {}
+    for r in parts:
+        k = r["event_type"]
+        if k not in agg:
+            agg[k] = [0, 0, r["min_gap_us"], r["max_gap_us"]]
+        a = agg[k]
+        a[0] += r["n_gaps"]
+        a[1] += r["sum_gap_us"]
+        a[2] = min(a[2], r["min_gap_us"])
+        a[3] = max(a[3], r["max_gap_us"])
+    keys = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(keys, type=pa.string()),
+        "n_gaps": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+        "sum_gap_us": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+        "min_gap_us": pa.array([agg[k][2] for k in keys], type=pa.int64()),
+        "max_gap_us": pa.array([agg[k][3] for k in keys], type=pa.int64()),
+    })
+
+
+SQL_INTERARRIVAL_STATS_BY_TYPE = """
+WITH l AS (SELECT event_type,
+                  epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS gap
+           FROM events)
+SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM l WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5576,6 +5913,14 @@ REGISTRY: dict[str, tuple] = {
     "source_concentration": (q_source_concentration,
                              SQL_SOURCE_CONCENTRATION),
     "user_burst_max": (q_user_burst_max, SQL_USER_BURST_MAX),
+    "rolling_week_active_users": (q_rolling_week_active_users,
+                                  SQL_ROLLING_WEEK_ACTIVE_USERS),
+    "small_qty_part_revenue": (q_small_qty_part_revenue,
+                               SQL_SMALL_QTY_PART_REVENUE),
+    "order_reconciliation": (q_order_reconciliation,
+                             SQL_ORDER_RECONCILIATION),
+    "interarrival_stats_by_type": (q_interarrival_stats_by_type,
+                                   SQL_INTERARRIVAL_STATS_BY_TYPE),
     "event_followups": (q_event_followups, SQL_EVENT_FOLLOWUPS),
     "doc_length_gini": (q_doc_length_gini, SQL_DOC_LENGTH_GINI),
     "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH_CURVE),

@@ -192,3 +192,36 @@ def test_doc_length_gini_known(ray_session, tmp_path):
     assert got["gini_x1e9"][0].as_py() == int(want["gini_x1e9"].iloc[0])
     # closed form: n=5, S0=100, S1=1*1+2*2+3*3+4*4+5*90 = 480
     assert got["gini_x1e9"][0].as_py() == (2 * 480 - 6 * 100) * 10**9 // 500
+
+
+def test_rolling_week_active_users_planted(ray_session, tmp_path):
+    """Gap semantics: day 0 and day 7 are two segments whose -1/+1 deltas
+    cancel at the boundary (continuous coverage), day 20 is isolated; a
+    second user overlaps part of the range."""
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_ROLLING_WEEK_ACTIVE_USERS, q_rolling_week_active_users)
+    DAY = 86_400_000_000
+    base = np.datetime64("2026-03-01T12:00:00", "us").astype(np.int64)
+    rows = [(1, 0), (1, 7), (1, 20),      # user 1 on days 0, 7, 20
+            (2, 5), (2, 6),               # user 2 on days 5, 6
+            (2, 5)]                       # duplicate (user, day)
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([base + r[1] * DAY for r in rows],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_rolling_week_active_users(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.sql(SQL_ROLLING_WEEK_ACTIVE_USERS).df().astype("int64")
+    assert got.equals(want)
+    m = dict(zip(got["day_idx"] - got["day_idx"].min(), got["n_active"]))
+    # windows ending at day 0/5/6/7 see user 1; 5 and 6 also see user 2;
+    # day 20 is beyond both users' last activity + 6 except user 1's day 20
+    assert m[0] == 1 and m[5] == 2 and m[6] == 2 and m[7] == 2 and m[20] == 1
