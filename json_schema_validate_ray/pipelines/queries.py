@@ -5871,6 +5871,479 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+_EPOCH_1997_US = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+_EPOCH_1998_US = int(np.datetime64("1998-01-01", "us").astype(np.int64))
+
+
+def _part_dim(sf_dir: str, value_col: str):
+    """Broadcast-ready part dimension: (sorted partkeys, aligned values).
+    The part table is the classic broadcast side — O(distinct parts) ints,
+    shipped once via ray.put, probed with searchsorted in every lineitem
+    batch instead of shuffling 6 billion lineitem rows through a join."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", value_col])
+    pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    return pk[order], t[value_col].combine_chunks().take(
+        pa.array(order, type=pa.int64()))
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-shaped promotion-effect audit (round 5): of the 1997
+    shipping year's discounted revenue, how much came from PROMO-type
+    parts?  The part dimension broadcasts once as a sorted partkey array +
+    promo bitmask (ray.put, searchsorted probe per batch — never a shuffle
+    of the fact table); revenue is exact x1e4 integers (cents x (100-d)),
+    so the distributed sum is bit-equal to the serial oracle."""
+    import ray
+    rd = _rd()
+    keys, ptype = _part_dim(sf_dir, "p_type")
+    promo_ref = ray.put((keys, pc.equal(ptype, "PROMO").to_numpy(
+        zero_copy_only=False)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        in_year = (ts >= _EPOCH_1997_US) & (ts < _EPOCH_1998_US)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[in_year]
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)[in_year]
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)[in_year]
+        rev = ext_c * (100 - d)
+        pk, promo = ray.get(promo_ref)
+        is_promo = promo[np.searchsorted(pk, lp)]
+        return pa.table({
+            "promo_rev_x1e4": pa.array([int(rev[is_promo].sum())],
+                                       type=pa.int64()),
+            "total_rev_x1e4": pa.array([int(rev.sum())], type=pa.int64()),
+            "n_promo": pa.array([int(is_promo.sum())], type=pa.int64()),
+            "n_total": pa.array([len(rev)], type=pa.int64()),
+        })
+
+    parts = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({c: pa.array([sum(r[c] for r in parts)], type=pa.int64())
+                     for c in ("promo_rev_x1e4", "total_rev_x1e4",
+                               "n_promo", "n_total")})
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            FILTER (WHERE p_type = 'PROMO') AS BIGINT) AS promo_rev_x1e4,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_rev_x1e4,
+       CAST(COUNT(*) FILTER (WHERE p_type = 'PROMO') AS BIGINT) AS n_promo,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+"""
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume-order report (round 5): orders whose
+    total lineitem quantity exceeds 300 units, with their customer.  The
+    heavy-hitter set is small BY CONSTRUCTION (the HAVING threshold), so
+    the scalable shape is: per-batch quantity combiners -> one bounded
+    groupby -> broadcast the qualifying (orderkey -> qty) map -> one
+    streaming orders probe.  Neither fact table is ever join-shuffled."""
+    import ray
+    rd = _rd()
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": b["l_orderkey"],
+                      "q": pc.cast(b["l_quantity"], pa.int64())})
+        return t.group_by("o_orderkey").aggregate([("q", "sum")]) \
+            .rename_columns(["o_orderkey", "q"])
+
+    sums = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").sum("q")
+    big = pa.Table.from_pylist(
+        sums.map_batches(
+            lambda b: b.filter(pc.greater(b["sum(q)"], 300)),
+            batch_format="pyarrow").take_all())
+    if big.num_rows == 0:
+        return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                         "o_custkey": pa.array([], type=pa.int64()),
+                         "total_qty": pa.array([], type=pa.int64())})
+    ok = big["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ok)
+    ref = ray.put((ok[order],
+                   big["sum(q)"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64)[order]))
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys, qty = ray.get(ref)
+        o = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, o)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = keys[idx_c] == o
+        return pa.table({
+            "o_orderkey": pa.array(o[hit], type=pa.int64()),
+            "o_custkey": b["o_custkey"].cast(pa.int64()).filter(
+                pa.array(hit)),
+            "total_qty": pa.array(qty[idx_c[hit]], type=pa.int64()),
+        })
+
+    out = rd.read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(probe, batch_format="pyarrow").take_all()
+    return pa.Table.from_pylist(out) if out else pa.table({
+        "o_orderkey": pa.array([], type=pa.int64()),
+        "o_custkey": pa.array([], type=pa.int64()),
+        "total_qty": pa.array([], type=pa.int64())})
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+WITH s AS (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+SELECT o_orderkey, o_custkey, CAST(total_qty AS BIGINT) AS total_qty
+FROM orders JOIN s ON s.l_orderkey = o_orderkey
+"""
+
+
+def q_shipping_priority_topk(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority report (round 5): top 10 unshipped
+    BUILDING-segment orders by discounted revenue (orderdate before the
+    cutoff, lineitems shipping after it).  Customer segment membership
+    broadcasts as a sorted custkey set (dimension probe); lineitem revenue
+    collapses via per-batch combiners + one groupby; the two SKINNY sides
+    (orderkey->revenue, orderkey->order attrs) meet in a hash join; the
+    final sort input is <= the qualifying-order count, never the fact
+    table.  Total order (revenue desc, orderdate, orderkey) on both sides
+    makes the top-10 deterministic."""
+    import ray
+    import pyarrow.parquet as pq
+    rd = _rd()
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    bkeys = np.sort(cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+    bref = ray.put(bkeys)
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        keep = (od < _EPOCH_1998_US) & (keys[idx] == ck) if len(keys) \
+            else np.zeros(len(ck), dtype=bool)
+        m = pa.array(keep)
+        return pa.table({"o_orderkey": b["o_orderkey"].filter(m),
+                         "o_orderdate": b["o_orderdate"].filter(m),
+                         "o_orderpriority": b["o_orderpriority"].filter(m)})
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]) \
+        .map_batches(orders_filter, batch_format="pyarrow")
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ts > _EPOCH_1998_US
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)[keep]
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        t = pa.table({
+            "o_orderkey": b["l_orderkey"].filter(pa.array(keep)),
+            "rev": pa.array(ext_c * (100 - d), type=pa.int64())})
+        return t.group_by("o_orderkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["o_orderkey", "rev"])
+
+    rev = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").sum("rev")
+
+    nparts = max(2, _conc())
+    joined = rev.repartition(nparts).join(
+        orders.repartition(nparts), join_type="inner",
+        num_partitions=nparts, on=("o_orderkey",))
+    top = joined.sort(["sum(rev)", "o_orderdate", "o_orderkey"],
+                      descending=[True, False, False]).limit(10)
+    t = pa.Table.from_pylist(top.take_all())
+    return pa.table({
+        "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+        "revenue_x1e4": t["sum(rev)"].cast(pa.int64()),
+        "o_orderdate": t["o_orderdate"],
+        "o_orderpriority": t["o_orderpriority"],
+    })
+
+
+SQL_SHIPPING_PRIORITY_TOPK = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_x1e4,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_x1e4 DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
+
+def q_returned_revenue_by_nation(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report (round 5): discounted revenue
+    of RETURNED lineitems by customer nation.  The R-flag filter prunes at
+    the scan; per-orderkey revenue collapses in combiners; the skinny
+    (orderkey, revenue) side hash-joins the skinny (orderkey, custkey)
+    side; custkey->nationkey is a broadcast dimension probe and the final
+    aggregate has <= 25 groups.  The fact table is never shuffled whole."""
+    import ray
+    import pyarrow.parquet as pq
+    rd = _rd()
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck)
+    cref = ray.put((ck[order],
+                    cust["c_nationkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order]))
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["l_returnflag"], "R")
+        ext_c = _cents(b["l_extendedprice"]).filter(m).to_numpy(
+            zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).filter(m).to_numpy(zero_copy_only=False)
+        t = pa.table({"o_orderkey": b["l_orderkey"].filter(m),
+                      "rev": pa.array(ext_c * (100 - d), type=pa.int64())})
+        return t.group_by("o_orderkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["o_orderkey", "rev"])
+
+    rev = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").sum("rev")
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    nparts = max(2, _conc())
+    joined = rev.repartition(nparts).join(
+        orders.repartition(nparts), join_type="inner",
+        num_partitions=nparts, on=("o_orderkey",))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        keys, nk = ray.get(cref)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = nk[np.searchsorted(keys, c)]   # every custkey is in the dim
+        t = pa.table({"nationkey": pa.array(n, type=pa.int64()),
+                      "rev": pa.array(r, type=pa.int64()),
+                      "one": pa.array(np.ones(len(r), dtype=np.int64))})
+        return t.group_by("nationkey").aggregate(
+            [("rev", "sum"), ("one", "sum")]) \
+            .rename_columns(["nationkey", "rev", "n_orders"])
+
+    parts = joined.map_batches(nation_partial,
+                               batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["nationkey"]), [0, 0])
+        a[0] += int(r["rev"])
+        a[1] += int(r["n_orders"])
+    names = {int(k): v for k, v in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())}
+    ks = sorted(agg)
+    return pa.table({
+        "n_name": pa.array([names[k] for k in ks], type=pa.string()),
+        "revenue_x1e4": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_orders": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+SQL_RETURNED_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_x1e4,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+     JOIN customer ON c_custkey = o_custkey
+     JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_brand_yearly_revenue(sf_dir: str):
+    """TPC-H Q9-shaped brand profit profile (round 5): discounted revenue
+    per (part brand, ship year).  The key space is bounded (25 brands x 7
+    years), so the whole aggregation is per-batch combiners over a
+    broadcast partkey->brand probe with ONE tiny driver merge — zero
+    shuffles of any kind."""
+    import ray
+    rd = _rd()
+    keys, brands = _part_dim(sf_dir, "p_brand")
+    # dictionary-encode the brand column so the broadcast is (int64[], int8[])
+    uniq = brands.unique()
+    code = pc.index_in(brands, value_set=uniq).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bref = ray.put((keys, code))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk, bcode = ray.get(bref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        year = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        rev = ext_c * (100 - d)
+        bc = bcode[np.searchsorted(pk, lp)]
+        t = pa.table({"bc": pa.array(bc, type=pa.int64()),
+                      "year": pa.array(year, type=pa.int64()),
+                      "rev": pa.array(rev, type=pa.int64())})
+        return t.group_by(["bc", "year"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["bc", "year", "rev"])
+
+    parts = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[tuple[int, int], int] = {}
+    for r in parts:
+        k = (int(r["bc"]), int(r["year"]))
+        agg[k] = agg.get(k, 0) + int(r["rev"])
+    names = uniq.to_pylist()
+    ks = sorted(agg, key=lambda k: (names[k[0]], k[1]))
+    return pa.table({
+        "brand": pa.array([names[k[0]] for k in ks], type=pa.string()),
+        "year": pa.array([k[1] for k in ks], type=pa.int64()),
+        "revenue_x1e4": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+SQL_BRAND_YEARLY_REVENUE = """
+SELECT p_brand AS brand,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS year,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_x1e4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY brand, year ORDER BY brand, year
+"""
+
+
+def q_rich_idle_customers(sf_dir: str):
+    """TPC-H Q22-shaped dormant-capital report (round 5): customers whose
+    balance beats the global positive-balance average but who never placed
+    an URGENT order, counted per nation.  Three scalable phases: (1) the
+    global average as ONE (sum_cents, count) combiner pass — the compare
+    is the integer cross-multiplication bal_c * n > sum_c, so no float
+    division ever happens; (2) the urgent-customer set via per-batch
+    distinct partials + bucket distinct, broadcast once; (3) one streaming
+    customer pass with bounded per-nation partials."""
+    from .dedup import _group_by_key_buckets
+    import ray
+    rd = _rd()
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        bal_c = _cents(b["c_acctbal"])
+        pos = pc.greater(bal_c, 0)
+        return pa.table({
+            "s": pa.array([int(pc.sum(bal_c.filter(pos)).as_py() or 0)],
+                          type=pa.int64()),
+            "n": pa.array([int(pc.sum(pos).as_py() or 0)],
+                          type=pa.int64())})
+
+    bal = cust.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    sum_c = sum(r["s"] for r in bal)
+    n_pos = sum(r["n"] for r in bal)
+
+    def urgent_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderpriority"], "1-URGENT")
+        vc = b["o_custkey"].filter(m).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"k": vc.field("values").cast(pa.int64())})
+
+    def distinct(g):
+        return pa.table({"k": pa.array(g["k"].drop_duplicates(),
+                                       type=pa.int64())})
+
+    keys = _group_by_key_buckets(
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderpriority"])
+        .map_batches(urgent_partial, batch_format="pyarrow"),
+        "k").map_groups(distinct, batch_format="pandas").materialize()
+    urgent = pa.concat_tables(
+        [pa.table({"k": b["k"]}) for b in
+         keys.iter_batches(batch_format="pyarrow")])["k"].combine_chunks()
+    uref = ray.put(urgent)
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        bal_c = _cents(b["c_acctbal"])
+        rich = pc.greater(pc.multiply(bal_c, n_pos), sum_c)
+        idle = pc.invert(pc.is_in(pc.cast(b["c_custkey"], pa.int64()),
+                                  value_set=ray.get(uref)))
+        m = pc.and_(rich, idle)
+        t = pa.table({
+            "nationkey": b["c_nationkey"].cast(pa.int64()).filter(m),
+            "bal_c": bal_c.filter(m),
+            "one": pa.array(np.ones(int(pc.sum(m).as_py() or 0),
+                                    dtype=np.int64))})
+        return t.group_by("nationkey").aggregate(
+            [("one", "sum"), ("bal_c", "sum")]) \
+            .rename_columns(["nationkey", "n_custs", "sum_bal_c"])
+
+    parts = cust.map_batches(nation_partial,
+                             batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["nationkey"]), [0, 0])
+        a[0] += int(r["n_custs"])
+        a[1] += int(r["sum_bal_c"])
+    ks = sorted(agg)
+    return pa.table({
+        "nationkey": pa.array(ks, type=pa.int64()),
+        "n_custs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "sum_bal_c": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+SQL_RICH_IDLE_CUSTOMERS = """
+WITH a AS (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                  COUNT(*) AS n
+           FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_bal_c
+FROM customer, a
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5887,7 +6360,16 @@ REGISTRY: dict[str, tuple] = {
     # probabilistic) and stays covered by tools/strict_oracle_check.py and
     # tests/test_queries_oracle.py every round.
     # ------------------------------------------------------------------
-    # --- round-5 operators (slots 1-26) ---
+    # --- round-5 operators (window head) ---
+    "promo_revenue_share": (q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE),
+    "large_volume_orders": (q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
+    "shipping_priority_topk": (q_shipping_priority_topk,
+                               SQL_SHIPPING_PRIORITY_TOPK),
+    "returned_revenue_by_nation": (q_returned_revenue_by_nation,
+                                   SQL_RETURNED_REVENUE_BY_NATION),
+    "brand_yearly_revenue": (q_brand_yearly_revenue,
+                             SQL_BRAND_YEARLY_REVENUE),
+    "rich_idle_customers": (q_rich_idle_customers, SQL_RICH_IDLE_CUSTOMERS),
     "curate_exact_summary_documents": (q_curate_exact_summary_documents,
                                        SQL_CURATE_EXACT_SUMMARY_DOCUMENTS),
     "cube_lang_source": (q_cube_lang_source, SQL_CUBE_LANG_SOURCE),
