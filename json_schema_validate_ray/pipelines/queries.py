@@ -6344,6 +6344,340 @@ GROUP BY c_nationkey ORDER BY nationkey
 """
 
 
+def q_discount_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecasting-revenue-change scan (round 5): revenue
+    that would be reclaimed by dropping 5-7% discounts on small (< 24 qty)
+    1997 lineitems.  The canonical scan-filter-aggregate: column-pruned
+    read, one vectorized predicate per batch, exact x1e4-integer partial
+    sums (cents x discount points), one driver add — no shuffle, no join,
+    the shape that saturates scan bandwidth at 100 TB."""
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = ((ts >= _EPOCH_1997_US) & (ts < _EPOCH_1998_US)
+                & (d >= 5) & (d <= 7) & (q < 24))
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)[keep]
+        return pa.table({
+            "revenue_x1e4": pa.array([int((ext_c * d[keep]).sum())],
+                                     type=pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], type=pa.int64())})
+
+    parts = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "revenue_x1e4": pa.array([sum(r["revenue_x1e4"] for r in parts)],
+                                 type=pa.int64()),
+        "n_rows": pa.array([sum(r["n_rows"] for r in parts)],
+                           type=pa.int64())})
+
+
+SQL_DISCOUNT_REVENUE = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_x1e4,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate census (round 5): how much of each crawl
+    source is verbatim repetition?  Distinct-text counting is the two-level
+    distinct: per-batch distinct (source, text-hash) partials (the batch
+    collapses its own repeats first), coarse hash buckets co-partition each
+    hash, per-bucket distinct, then bounded per-source count partials to
+    the driver — the fact table never shuffles, only its distinct
+    fingerprints do.  Hash equality stands in for string equality (same
+    convention as the hash-green exact_dedup_documents; 2^-64 collisions)."""
+    from ..state.sketches import _hash64
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"],
+                      "h": pa.array(_hash64(b["text"]).astype(np.int64))})
+        return t.group_by(["source", "h"]).aggregate([])
+
+    def distinct(g):
+        t = pa.table({"source": pa.array(g["source"], type=pa.string()),
+                      "h": pa.array(g["h"], type=pa.int64())})
+        d = t.group_by(["source", "h"]).aggregate([])
+        return pa.table({"source": d["source"],
+                         "one": pa.array(
+                             np.ones(d.num_rows, dtype=np.int64))})
+
+    counts = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "h") \
+        .map_groups(distinct, batch_format="pandas")
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        return b.group_by("source").aggregate([("one", "sum")]) \
+            .rename_columns(["source", "n_distinct"])
+
+    dparts = counts.map_batches(src_partial,
+                                batch_format="pyarrow").take_all()
+    nparts = ds.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow").map_batches(
+            src_partial, batch_format="pyarrow").take_all()
+    nd: dict[str, int] = {}
+    for r in dparts:
+        nd[r["source"]] = nd.get(r["source"], 0) + int(r["n_distinct"])
+    nn: dict[str, int] = {}
+    for r in nparts:
+        nn[r["source"]] = nn.get(r["source"], 0) + int(r["n_distinct"])
+    ks = sorted(nn)
+    return pa.table({
+        "source": pa.array(ks, type=pa.string()),
+        "n_docs": pa.array([nn[k] for k in ks], type=pa.int64()),
+        "n_distinct_texts": pa.array([nd.get(k, 0) for k in ks],
+                                     type=pa.int64())})
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_token_len_histogram(sf_dir: str):
+    """Corpus token-length histogram (round 5): the character-length
+    distribution of whitespace tokens — the BPE-budget profile (how many
+    bytes a word-level token costs) computed without ever exploding the
+    corpus: per-batch split + flatten + value_counts partials (bounded by
+    the longest token, not the token count), one driver merge."""
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        nonempty = pc.not_equal(t, "")
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(t.filter(nonempty), pattern=r"\s+"))
+        vc = pc.value_counts(pc.utf8_length(toks))
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "token_len": vc.field("values").cast(pa.int64()),
+            "n_tokens": vc.field("counts").cast(pa.int64())})
+
+    parts = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["token_len"])] = agg.get(int(r["token_len"]), 0) \
+            + int(r["n_tokens"])
+    ks = sorted(agg)
+    return pa.table({
+        "token_len": pa.array(ks, type=pa.int64()),
+        "n_tokens": pa.array([agg[k] for k in ks], type=pa.int64())})
+
+
+SQL_TOKEN_LEN_HISTOGRAM = r"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS tok
+           FROM documents WHERE trim(lower(text)) <> '')
+SELECT CAST(length(tok) AS BIGINT) AS token_len,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM t GROUP BY token_len ORDER BY token_len
+"""
+
+
+def q_top2_event_types_per_user(sf_dir: str):
+    """Per-user top-2 event types (round 5): ROW_NUMBER() <= 2 over
+    per-user type counts — the per-entity leaderboard shape.  Counts
+    collapse in per-batch (user, type) combiners (key space is users x 5,
+    not events); users co-partition into coarse hash buckets; each bucket
+    does ONE vectorized lexsort top-2 pass (no per-user loop) and emits
+    Arrow.  Ties break on type name, matching the SQL total order."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "event_type": b["event_type"],
+                      "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("one", "sum")]) \
+            .rename_columns(["user_id", "event_type", "n"])
+
+    def top2(g):
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        ty = np.asarray(g["event_type"])
+        n = np.asarray(g["n"], dtype=np.int64)
+        # merge cross-batch partials for the same (user, type)
+        t = pa.table({"u": pa.array(u), "ty": pa.array(ty, type=pa.string()),
+                      "n": pa.array(n)})
+        m = t.group_by(["u", "ty"]).aggregate([("n", "sum")])
+        u = m["u"].to_numpy(zero_copy_only=False)
+        ty = np.asarray(m["ty"].to_pylist())
+        n = m["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ty, -n, u))
+        u, ty, n = u[order], ty[order], n[order]
+        newu = np.ones(len(u), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        # rank within user = position since the user's first row
+        idx = np.arange(len(u), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(newu, idx, 0))
+        rnk = idx - start + 1
+        keep = rnk <= 2
+        return pa.table({
+            "user_id": pa.array(u[keep], type=pa.int64()),
+            "rnk": pa.array(rnk[keep], type=pa.int64()),
+            "event_type": pa.array(ty[keep], type=pa.string()),
+            "n_events": pa.array(n[keep], type=pa.int64())})
+
+    return _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id") \
+        .map_groups(top2, batch_format="pandas")
+
+
+SQL_TOP2_EVENT_TYPES_PER_USER = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM c)
+SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_type,
+       CAST(n AS BIGINT) AS n_events
+FROM r WHERE rnk <= 2
+"""
+
+
+def q_suppliers_per_part_histogram(sf_dir: str):
+    """Supplier-diversity histogram (round 5, TPC-H Q16-shaped): how many
+    parts are served by exactly k distinct suppliers?  The double
+    aggregation (distinct-per-key, then histogram-of-counts) runs as:
+    per-batch distinct (part, supplier) pairs, coarse partkey buckets
+    co-partitioning every pair of one part, per-bucket distinct + per-part
+    counts, bounded histogram partials to the driver."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"p": b["l_partkey"].cast(pa.int64()),
+                         "s": b["l_suppkey"].cast(pa.int64())}) \
+            .group_by(["p", "s"]).aggregate([])
+
+    def per_part(g):
+        t = pa.table({"p": pa.array(g["p"], type=pa.int64()),
+                      "s": pa.array(g["s"], type=pa.int64())})
+        d = t.group_by(["p", "s"]).aggregate([])
+        vc = pc.value_counts(d["p"])
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        hist = pc.value_counts(vc.field("counts"))
+        if isinstance(hist, pa.ChunkedArray):
+            hist = hist.combine_chunks()
+        return pa.table({
+            "n_suppliers": hist.field("values").cast(pa.int64()),
+            "n_parts": hist.field("counts").cast(pa.int64())})
+
+    parts = _group_by_key_buckets(
+        ds.map_batches(pairs, batch_format="pyarrow"), "p") \
+        .map_groups(per_part, batch_format="pandas").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["n_suppliers"])] = agg.get(int(r["n_suppliers"]), 0) \
+            + int(r["n_parts"])
+    ks = sorted(agg)
+    return pa.table({
+        "n_suppliers": pa.array(ks, type=pa.int64()),
+        "n_parts": pa.array([agg[k] for k in ks], type=pa.int64())})
+
+
+SQL_SUPPLIERS_PER_PART_HISTOGRAM = """
+WITH d AS (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+           FROM lineitem GROUP BY l_partkey)
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM d GROUP BY n_suppliers ORDER BY n_suppliers
+"""
+
+
+def q_quality_filter_by_lang(sf_dir: str):
+    """C4-style quality-gate accounting (round 5): per language, how many
+    documents survive the classic cheap filters (>= 30 tokens AND stopword
+    ratio >= 5%)?  Both predicates are integer cross-multiplications
+    (20 * stop_cnt >= tok_cnt), so no float thresholds drift between the
+    engine and the oracle.  Fully vectorized: one split + flatten, stopword
+    membership via pc.is_in, per-row counts via bincount over row-repeat
+    ids, bounded per-lang partials."""
+    rd = _rd()
+    stop_set = pa.array(sorted(DEFAULT_STOPWORDS), type=pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        toks = pc.split_pattern_regex(t, pattern=r"\s+")
+        ncount = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = pc.equal(t, "").to_numpy(zero_copy_only=False)
+        ncount[empty] = 0
+        flat = pc.list_flatten(toks)
+        rows = np.repeat(np.arange(b.num_rows, dtype=np.int64), ncount)
+        is_stop = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False)
+        stop_cnt = np.bincount(rows[is_stop], minlength=b.num_rows) \
+            .astype(np.int64)
+        kept = (ncount >= 30) & (20 * stop_cnt >= ncount)
+        tbl = pa.table({
+            "lang": b["lang"],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "kept": pa.array(kept.astype(np.int64))})
+        return tbl.group_by("lang").aggregate(
+            [("one", "sum"), ("kept", "sum")]) \
+            .rename_columns(["lang", "n_docs", "n_kept"])
+
+    parts = rd.read_parquet(_t(sf_dir, "documents"),
+                            columns=["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["lang"], [0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["n_kept"])
+    ks = sorted(agg)
+    return pa.table({
+        "lang": pa.array(ks, type=pa.string()),
+        "n_docs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_kept": pa.array([agg[k][1] for k in ks], type=pa.int64())})
+
+
+SQL_QUALITY_FILTER_BY_LANG = r"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE len(toks) >= 30
+            AND 20 * len(list_filter(toks,
+                    t -> t IN ('the', 'a', 'and', 'of', 'to')))
+                >= len(toks)) AS BIGINT) AS n_kept
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6361,6 +6695,16 @@ REGISTRY: dict[str, tuple] = {
     # tests/test_queries_oracle.py every round.
     # ------------------------------------------------------------------
     # --- round-5 operators (window head) ---
+    "discount_revenue": (q_discount_revenue, SQL_DISCOUNT_REVENUE),
+    "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
+    "token_len_histogram": (q_token_len_histogram,
+                            SQL_TOKEN_LEN_HISTOGRAM),
+    "top2_event_types_per_user": (q_top2_event_types_per_user,
+                                  SQL_TOP2_EVENT_TYPES_PER_USER),
+    "suppliers_per_part_histogram": (q_suppliers_per_part_histogram,
+                                     SQL_SUPPLIERS_PER_PART_HISTOGRAM),
+    "quality_filter_by_lang": (q_quality_filter_by_lang,
+                               SQL_QUALITY_FILTER_BY_LANG),
     "promo_revenue_share": (q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE),
     "large_volume_orders": (q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
     "shipping_priority_topk": (q_shipping_priority_topk,
