@@ -6678,6 +6678,610 @@ FROM d GROUP BY lang ORDER BY lang
 """
 
 
+def q_rare_token_score_by_source(sf_dir: str):
+    """Rarity-weighted source profile (round 5): rank every token by global
+    frequency (rank 1 = most frequent) and report per source the summed
+    rank of its token stream — the cheap perplexity proxy that flags
+    sources full of rare vocabulary.  The census is per-batch value_counts
+    partials merged once on the driver (bounded by VOCABULARY, not corpus
+    size) and broadcast; scoring is one streaming pass (index_in + bincount
+    per batch).  Ranks are integers, so sums are bit-exact."""
+    import ray
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def census(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            t.filter(pc.not_equal(t, "")), pattern=r"\s+"))
+        vc = pc.value_counts(toks)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    freq: dict[str, int] = {}
+    for r in ds.map_batches(census, batch_format="pyarrow").take_all():
+        freq[r["tok"]] = freq.get(r["tok"], 0) + int(r["n"])
+    # rank 1..V by (freq desc, token asc) — ROW_NUMBER semantics
+    vocab = sorted(freq, key=lambda t: (-freq[t], t))
+    vocab_arr = pa.array(vocab, type=pa.string())
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.int64)
+    vref = ray.put((vocab_arr, ranks))
+
+    def score(b: pa.Table) -> pa.Table:
+        va, rk = ray.get(vref)
+        t = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        lens = pc.list_value_length(pc.split_pattern_regex(
+            t, pattern=r"\s+")).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = pc.equal(t, "").to_numpy(zero_copy_only=False)
+        lens[empty] = 0
+        flat = pc.list_flatten(pc.split_pattern_regex(
+            t.filter(pc.not_equal(t, "")), pattern=r"\s+"))
+        idx = pc.index_in(flat, value_set=va).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(b.num_rows, dtype=np.int64)[~empty],
+                         lens[~empty])
+        rsum = np.bincount(rows, weights=rk[idx].astype(np.float64),
+                           minlength=b.num_rows).astype(np.int64)
+        tbl = pa.table({
+            "source": b["source"],
+            "rank_sum": pa.array(rsum),
+            "n_tokens": pa.array(lens)})
+        return tbl.group_by("source").aggregate(
+            [("rank_sum", "sum"), ("n_tokens", "sum")]) \
+            .rename_columns(["source", "rank_sum", "n_tokens"])
+
+    parts = ds.map_batches(score, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["source"], [0, 0])
+        a[0] += int(r["rank_sum"])
+        a[1] += int(r["n_tokens"])
+    ks = sorted(agg)
+    return pa.table({
+        "source": pa.array(ks, type=pa.string()),
+        "rank_sum": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_tokens": pa.array([agg[k][1] for k in ks], type=pa.int64())})
+
+
+SQL_RARE_TOKEN_SCORE_BY_SOURCE = r"""
+WITH t AS (SELECT source,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                      AS tok
+           FROM documents WHERE trim(lower(text)) <> ''),
+f AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+r AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM f)
+SELECT source, CAST(SUM(rnk) AS BIGINT) AS rank_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM t JOIN r USING (tok)
+GROUP BY source ORDER BY source
+"""
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_event_daily_anomaly(sf_dir: str):
+    """Daily-volume anomaly report (round 5): for each event type, the days
+    whose count deviates more than 20% from that type's mean daily count.
+    The compare never divides: a day is 'high' when 5*n_days*cnt >
+    6*total and 'low' when 5*n_days*cnt < 4*total — pure int64 on both
+    sides.  Per-(type, day) counts collapse in per-batch combiners (key
+    space = types x days, bounded); the driver computes the per-type means
+    over tiny partials."""
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // _US_PER_DAY
+        t = pa.table({"event_type": b["event_type"],
+                      "day": pa.array(day, type=pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by(["event_type", "day"]).aggregate([("one", "sum")]) \
+            .rename_columns(["event_type", "day", "n"])
+
+    parts = rd.read_parquet(_t(sf_dir, "events"),
+                            columns=["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    counts: dict[tuple[str, int], int] = {}
+    for r in parts:
+        k = (r["event_type"], int(r["day"]))
+        counts[k] = counts.get(k, 0) + int(r["n"])
+    totals: dict[str, list[int]] = {}
+    for (ty, _d), n in counts.items():
+        a = totals.setdefault(ty, [0, 0])
+        a[0] += n
+        a[1] += 1
+    out = []
+    for (ty, d), n in counts.items():
+        total, nd = totals[ty]
+        if 5 * nd * n > 6 * total:
+            out.append((ty, d, n, "high"))
+        elif 5 * nd * n < 4 * total:
+            out.append((ty, d, n, "low"))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([o[0] for o in out], type=pa.string()),
+        "day": pa.array([o[1] * _US_PER_DAY for o in out],
+                        type=pa.timestamp("us")),
+        "n_events": pa.array([o[2] for o in out], type=pa.int64()),
+        "direction": pa.array([o[3] for o in out], type=pa.string())})
+
+
+SQL_EVENT_DAILY_ANOMALY = """
+WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, day),
+s AS (SELECT event_type, SUM(n) AS total, COUNT(*) AS nd
+      FROM c GROUP BY event_type)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, n AS n_events,
+       CASE WHEN 5 * nd * n > 6 * total THEN 'high' ELSE 'low' END
+           AS direction
+FROM c JOIN s USING (event_type)
+WHERE 5 * nd * n > 6 * total OR 5 * nd * n < 4 * total
+ORDER BY event_type, day
+"""
+
+
+def q_user_value_deciles(sf_dir: str):
+    """Customer-lifetime-value deciles (round 5): NTILE(10) over per-user
+    event-value totals, reported as per-decile user counts and value sums
+    — the whale-curve summary.  Per-user totals collapse via combiners +
+    one groupby; the decile assignment reuses the global_rank two-pass
+    machinery (ONE skinny 2-column sort, O(#blocks) driver state); decile
+    aggregation is bounded 10-group partials.  Values as exact cents."""
+    from .rank import global_rank
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "v": _cents(b["value"])})
+        return t.group_by("user_id").aggregate([("v", "sum")]) \
+            .rename_columns(["user_id", "v"])
+
+    sums = rd.read_parquet(_t(sf_dir, "events"),
+                           columns=["user_id", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").sum("v") \
+        .map_batches(lambda b: pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "v": b["sum(v)"].cast(pa.int64())}), batch_format="pyarrow")
+    ranked = global_rank(sums, key_column="v", id_column="user_id",
+                         descending=True, ntile=10, ntile_name="decile")
+
+    def dec_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"decile": b["decile"],
+                      "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                      "v": b["v"]})
+        return t.group_by("decile").aggregate(
+            [("one", "sum"), ("v", "sum")]) \
+            .rename_columns(["decile", "n_users", "sum_value_c"])
+
+    parts = ranked.map_batches(dec_partial,
+                               batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["decile"]), [0, 0])
+        a[0] += int(r["n_users"])
+        a[1] += int(r["sum_value_c"])
+    ks = sorted(agg)
+    return pa.table({
+        "decile": pa.array(ks, type=pa.int64()),
+        "n_users": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "sum_value_c": pa.array([agg[k][1] for k in ks], type=pa.int64())})
+
+
+SQL_USER_VALUE_DECILES = """
+WITH s AS (SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS v
+           FROM events GROUP BY user_id),
+t AS (SELECT user_id, v, NTILE(10) OVER (ORDER BY v DESC, user_id) AS d
+      FROM s)
+SELECT CAST(d AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(v) AS BIGINT) AS sum_value_c
+FROM t GROUP BY d ORDER BY decile
+"""
+
+
+def q_jaccard_band_histogram(sf_dir: str):
+    """Similarity-mass histogram (round 5): the exact n-gram Jaccard join
+    at threshold 0.4, bucketed into 0.05-wide similarity bands — the
+    threshold-sensitivity diagnostic that tells you how much MORE dedup a
+    lower cutoff would remove.  COMPOSITION: pipelines/dedup
+    .ngram_jaccard_pairs (PPJoin prefix filtering) -> bounded bucket
+    partials; the oracle wraps the same all-pairs CTE."""
+    from .dedup import ngram_jaccard_pairs
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.4)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        j = b["jaccard_1e6"].to_numpy(zero_copy_only=False)
+        band = np.minimum(j // 50_000, 19)   # J = 1.0 joins the top band
+        t = pa.table({"band": pa.array(band, type=pa.int64()),
+                      "one": pa.array(np.ones(len(band), dtype=np.int64))})
+        return t.group_by("band").aggregate([("one", "sum")]) \
+            .rename_columns(["band", "n_pairs"])
+
+    parts = pairs.map_batches(bucket, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["band"])] = agg.get(int(r["band"]), 0) + int(r["n_pairs"])
+    ks = sorted(agg)
+    return pa.table({
+        "band": pa.array(ks, type=pa.int64()),
+        "n_pairs": pa.array([agg[k] for k in ks], type=pa.int64())})
+
+
+SQL_JACCARD_BAND_HISTOGRAM = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+j AS (
+  SELECT CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000.0 + 0.5)
+          AS BIGINT) AS j6
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+)
+SELECT CAST(least(j6 // 50000, 19) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY band ORDER BY band
+"""
+
+
+def q_decontaminate_rate_by_lang(sf_dir: str):
+    """Contamination-rate breakdown (round 5): the benchmark-decontamination
+    probe (md5-band < 5 slice as the benchmark, word-3-gram overlap)
+    aggregated per language — which subcorpora leak the benchmark most.
+    COMPOSITION of pipelines/decontaminate.decontaminate with bounded
+    per-lang combiners; the broadcast shingle set and the one streaming
+    probe pass are unchanged (no shuffle anywhere)."""
+    from ..stages.banding import band_values
+    from .decontaminate import decontaminate
+
+    def _band(b: pa.Table) -> np.ndarray:
+        return band_values(b["doc_id"], mode="md5")
+
+    cols = ["doc_id", "lang", "text"]
+    bench = _rd().read_parquet(_t(sf_dir, "documents"), columns=cols) \
+        .map_batches(lambda b: b.filter(pa.array(_band(b) < 5)),
+                     batch_format="pyarrow")
+    train = _rd().read_parquet(_t(sf_dir, "documents"), columns=cols) \
+        .map_batches(lambda b: b.filter(pa.array(_band(b) >= 5)),
+                     batch_format="pyarrow")
+    out = decontaminate(train, bench, "text", n_shingle=3)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b["lang"],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "contaminated": b["contaminated"].cast(pa.int64()),
+            "n_hit": b["n_contaminated"]})
+        return t.group_by("lang").aggregate(
+            [("one", "sum"), ("contaminated", "sum"), ("n_hit", "sum")]) \
+            .rename_columns(["lang", "n_docs", "n_contaminated_docs",
+                             "n_hit_shingles"])
+
+    parts = out.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["lang"], [0, 0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["n_contaminated_docs"])
+        a[2] += int(r["n_hit_shingles"])
+    ks = sorted(agg)
+    return pa.table({
+        "lang": pa.array(ks, type=pa.string()),
+        "n_docs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_contaminated_docs": pa.array([agg[k][1] for k in ks],
+                                        type=pa.int64()),
+        "n_hit_shingles": pa.array([agg[k][2] for k in ks],
+                                   type=pa.int64())})
+
+
+SQL_DECONTAMINATE_RATE_BY_LANG = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+band AS (SELECT *,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 AS b
+  FROM s),
+bench AS (SELECT list(DISTINCT g) AS bl
+  FROM (SELECT unnest(sh) AS g FROM band WHERE b < 5))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE len(list_intersect(sh, bl)) > 0)
+            AS BIGINT) AS n_contaminated_docs,
+       CAST(SUM(len(list_intersect(sh, bl))) AS BIGINT) AS n_hit_shingles
+FROM band, bench WHERE b >= 5
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_customer_order_span_histogram(sf_dir: str):
+    """Customer-lifetime histogram (round 5): 30-day-month span between a
+    customer's first and last order, as a histogram over customers — the
+    retention-shape summary.  Per-customer (min, max) collapse in
+    per-batch combiners + one skinny groupby; the span math and the
+    histogram are bounded partials.  Pure integer microseconds
+    throughout."""
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "ts": b["o_orderdate"].cast(pa.int64())})
+        return t.group_by("o_custkey").aggregate(
+            [("ts", "min"), ("ts", "max")]) \
+            .rename_columns(["o_custkey", "ts_min", "ts_max"])
+
+    spans = rd.read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            *[a for a in _min_max_aggs("ts_min", "ts_max")])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        lo = b["min(ts_min)"].to_numpy(zero_copy_only=False)
+        hi = b["max(ts_max)"].to_numpy(zero_copy_only=False)
+        months = (hi - lo) // (30 * _US_PER_DAY)
+        t = pa.table({"span_months": pa.array(months, type=pa.int64()),
+                      "one": pa.array(np.ones(len(months),
+                                              dtype=np.int64))})
+        return t.group_by("span_months").aggregate([("one", "sum")]) \
+            .rename_columns(["span_months", "n_customers"])
+
+    parts = spans.map_batches(hist_partial,
+                              batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["span_months"])] = agg.get(int(r["span_months"]), 0) \
+            + int(r["n_customers"])
+    ks = sorted(agg)
+    return pa.table({
+        "span_months": pa.array(ks, type=pa.int64()),
+        "n_customers": pa.array([agg[k] for k in ks], type=pa.int64())})
+
+
+def _min_max_aggs(min_col: str, max_col: str):
+    from ray.data.aggregate import Max, Min
+    return [Min(min_col), Max(max_col)]
+
+
+SQL_CUSTOMER_ORDER_SPAN_HISTOGRAM = """
+WITH s AS (SELECT o_custkey,
+                  (epoch_us(MAX(o_orderdate)) - epoch_us(MIN(o_orderdate)))
+                      // (30 * 86400000000) AS span_months
+           FROM orders GROUP BY o_custkey)
+SELECT CAST(span_months AS BIGINT) AS span_months,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM s GROUP BY span_months ORDER BY span_months
+"""
+
+
+def _prefix10_hash(text_col) -> np.ndarray:
+    """64-bit hash of each document's first-10-token prefix (lower/trim,
+    whitespace split) — the boilerplate-prefix duplicate key.  Vectorized:
+    list_slice + binary_join rebuild the prefix string without a Python
+    loop."""
+    from ..state.sketches import _hash64
+    t = pc.utf8_trim_whitespace(pc.utf8_lower(text_col))
+    toks = pc.split_pattern_regex(t, pattern=r"\s+")
+    pre = pc.binary_join(pc.list_slice(toks, 0, 10), " ")
+    return _hash64(pre).astype(np.int64)
+
+
+def q_doc_length_by_dup_status(sf_dir: str):
+    """Boilerplate-prefix duplicate length profile (round 5): are documents
+    sharing their 10-token opening (the mirrored-header signature)
+    systematically shorter/longer?  Two passes: (1) the prefix-hash census
+    keeps ONLY hashes seen more than once (the duplicate set is bounded by
+    the duplication volume, not the corpus — per-batch (hash, count)
+    partials, coarse hash buckets, per-bucket count merge); (2) the dup
+    set broadcasts and one streaming pass aggregates n_docs/sum_chars per
+    membership bit.  Hash-for-string equality as in the hash-green
+    exact_dedup_documents."""
+    from .dedup import _group_by_key_buckets
+    import ray
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = pa.array(_prefix10_hash(b["text"]))
+        t = pa.table({"h": h,
+                      "n": pa.array(np.ones(len(h), dtype=np.int64))})
+        return t.group_by("h").aggregate([("n", "sum")]) \
+            .rename_columns(["h", "n"])
+
+    def dups(g):
+        t = pa.table({"h": pa.array(g["h"], type=pa.int64()),
+                      "n": pa.array(g["n"], type=pa.int64())})
+        m = t.group_by("h").aggregate([("n", "sum")])
+        return pa.table({"h": m.filter(
+            pc.greater(m["n_sum"], 1))["h"]})
+
+    dup_tbls = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), "h") \
+        .map_groups(dups, batch_format="pandas") \
+        .map_batches(lambda b: pa.table({"h": b["h"]}),
+                     batch_format="pyarrow").take_all()
+    dup_set = pa.array(sorted({r["h"] for r in dup_tbls}), type=pa.int64())
+    dref = ray.put(dup_set)
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        h = pa.array(_prefix10_hash(b["text"]))
+        is_dup = pc.is_in(h, value_set=ray.get(dref))
+        t = pa.table({
+            "is_dup": is_dup.cast(pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "chars": b["n_chars"].cast(pa.int64())})
+        return t.group_by("is_dup").aggregate(
+            [("one", "sum"), ("chars", "sum")]) \
+            .rename_columns(["is_dup", "n_docs", "sum_chars"])
+
+    parts = ds.map_batches(agg_partial, batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["is_dup"]), [0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["sum_chars"])
+    ks = sorted(agg)
+    return pa.table({
+        "is_dup": pa.array(ks, type=pa.int64()),
+        "n_docs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "sum_chars": pa.array([agg[k][1] for k in ks], type=pa.int64())})
+
+
+SQL_DOC_LENGTH_BY_DUP_STATUS = r"""
+WITH p AS (SELECT n_chars,
+                  array_to_string(regexp_split_to_array(
+                      trim(lower(text)), '\s+')[1:10], ' ') AS pre
+           FROM documents),
+c AS (SELECT pre, COUNT(*) AS n FROM p GROUP BY pre)
+SELECT CAST(CASE WHEN n > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM p JOIN c USING (pre)
+GROUP BY is_dup ORDER BY is_dup
+"""
+
+
+def q_dup_pair_source_mix(sf_dir: str):
+    """Near-dup provenance mix (round 5): of the exact Jaccard >= 0.5
+    pairs, how many join documents from the SAME source vs different
+    sources — tells you whether duplication is intra-crawl boilerplate or
+    cross-crawl syndication.  COMPOSITION: the PPJoin pair pipeline's ids
+    probe a broadcast doc_id -> source dictionary (one streaming pass over
+    the bounded pair list); the oracle joins the same all-pairs CTE to the
+    source column twice."""
+    from .dedup import ngram_jaccard_pairs
+    import ray
+    import pyarrow.parquet as pq
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5)
+
+    src = pq.read_table(_t(sf_dir, "documents"),
+                        columns=["doc_id", "source"])
+    sid = src["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sid)
+    codes, uniq = None, src["source"].combine_chunks().unique()
+    codes = pc.index_in(src["source"].combine_chunks(),
+                        value_set=uniq).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sref = ray.put((sid[order], codes[order]))
+
+    def mix(b: pa.Table) -> pa.Table:
+        keys, code = ray.get(sref)
+        a = np.asarray([int(x) for x in b["id_a"].to_pylist()],
+                       dtype=np.int64)
+        c = np.asarray([int(x) for x in b["id_b"].to_pylist()],
+                       dtype=np.int64)
+        same = code[np.searchsorted(keys, a)] \
+            == code[np.searchsorted(keys, c)]
+        return pa.table({
+            "n_same_source": pa.array([int(same.sum())], type=pa.int64()),
+            "n_cross_source": pa.array([int((~same).sum())],
+                                       type=pa.int64())})
+
+    parts = pairs.map_batches(mix, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_same_source": pa.array(
+            [sum(r["n_same_source"] for r in parts)], type=pa.int64()),
+        "n_cross_source": pa.array(
+            [sum(r["n_cross_source"] for r in parts)], type=pa.int64())})
+
+
+SQL_DUP_PAIR_SOURCE_MIX = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+    END AS sh
+  FROM d
+),
+j AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+)
+SELECT CAST(COUNT(*) FILTER (WHERE sa = sb) AS BIGINT) AS n_same_source,
+       CAST(COUNT(*) FILTER (WHERE sa <> sb) AS BIGINT) AS n_cross_source
+FROM j
+"""
+
+
+def q_minhash_quality_report(sf_dir: str):
+    """MinHash-LSH quality audit (round 5, rows-only — the candidate set
+    is probabilistic): precision/recall of the LSH candidate pairs against
+    the EXACT PPJoin ground truth at J >= 0.5, in one row.  This is the
+    measurement users need before trading the exact join's determinism for
+    LSH's speed.  Both pair sets are bounded (threshold-filtered), so the
+    driver-side set compare is tiny; counts are exact ints."""
+    from .dedup import minhash_dup_pairs, ngram_jaccard_pairs
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).materialize()
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(ds, "text", "doc_id",
+                                          threshold=0.5).take_all()}
+    mh = {(r["id_a"], r["id_b"])
+          for r in minhash_dup_pairs(ds, "text", "doc_id",
+                                     threshold=0.5).take_all()}
+    hit = len(exact & mh)
+    return pa.table({
+        "n_exact_pairs": pa.array([len(exact)], type=pa.int64()),
+        "n_minhash_pairs": pa.array([len(mh)], type=pa.int64()),
+        "n_hit": pa.array([hit], type=pa.int64()),
+        "recall_1e6": pa.array(
+            [hit * 1_000_000 // len(exact) if exact else 1_000_000],
+            type=pa.int64()),
+        "precision_1e6": pa.array(
+            [hit * 1_000_000 // len(mh) if mh else 1_000_000],
+            type=pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6695,6 +7299,21 @@ REGISTRY: dict[str, tuple] = {
     # tests/test_queries_oracle.py every round.
     # ------------------------------------------------------------------
     # --- round-5 operators (window head) ---
+    "doc_length_by_dup_status": (q_doc_length_by_dup_status,
+                                 SQL_DOC_LENGTH_BY_DUP_STATUS),
+    "dup_pair_source_mix": (q_dup_pair_source_mix,
+                            SQL_DUP_PAIR_SOURCE_MIX),
+    "rare_token_score_by_source": (q_rare_token_score_by_source,
+                                   SQL_RARE_TOKEN_SCORE_BY_SOURCE),
+    "event_daily_anomaly": (q_event_daily_anomaly,
+                            SQL_EVENT_DAILY_ANOMALY),
+    "user_value_deciles": (q_user_value_deciles, SQL_USER_VALUE_DECILES),
+    "jaccard_band_histogram": (q_jaccard_band_histogram,
+                               SQL_JACCARD_BAND_HISTOGRAM),
+    "decontaminate_rate_by_lang": (q_decontaminate_rate_by_lang,
+                                   SQL_DECONTAMINATE_RATE_BY_LANG),
+    "customer_order_span_histogram": (q_customer_order_span_histogram,
+                                      SQL_CUSTOMER_ORDER_SPAN_HISTOGRAM),
     "discount_revenue": (q_discount_revenue, SQL_DISCOUNT_REVENUE),
     "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
     "token_len_histogram": (q_token_len_histogram,
@@ -6894,7 +7513,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_pq_topk": (q_ann_pq_topk, None),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),
     "semdedup_embeddings": (q_semdedup_embeddings, None),
-
+    "minhash_quality_report": (q_minhash_quality_report, None),
 }
 
 
