@@ -1720,6 +1720,24 @@ ORDER BY n_violations DESC, constraint_id ASC LIMIT 20
         "tokens_salted_source_counts": f"""
 SELECT source, count(*) AS "count" FROM {src} GROUP BY source
 """,
+        "tokens_violations_by_source": verdict_cte + """
+SELECT source, count(*) AS n_rows,
+       count(*) FILTER (WHERE n_violations > 0) AS invalid_rows,
+       CAST(sum(n_violations) AS BIGINT) AS violation_count
+FROM v GROUP BY source ORDER BY source
+""",
+        "tokens_valid_rate_by_length": verdict_cte + """
+SELECT CAST(coalesce(n_tok // 64, -1) AS BIGINT) AS len_bucket,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE n_violations > 0) AS invalid_rows
+FROM v GROUP BY len_bucket ORDER BY len_bucket
+""",
+        "tokens_token_id_histogram": f"""
+WITH t AS (SELECT unnest(tokens) AS tok FROM {src} WHERE tokens IS NOT NULL)
+SELECT CAST(tok AS BIGINT) AS token_id, count(*) AS n_occurrences
+FROM t WHERE tok IS NOT NULL
+GROUP BY token_id ORDER BY n_occurrences DESC, token_id LIMIT 20
+""",
         "tokens_length_quantiles": f"""
 SELECT CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS q25,
        CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS q50,
@@ -7282,6 +7300,184 @@ def q_minhash_quality_report(sf_dir: str):
             type=pa.int64())})
 
 
+def q_tokens_violations_by_source(sf_dir: str):
+    """North-rule composition (round 5): the vectorized schema validator
+    over the tokens table, rolled up PER SOURCE — which ingestion feed
+    ships the broken rows.  One validation pass (worker-cached plan),
+    bounded per-source combiners, driver merge.  Mirrors the per-partition
+    verdicts but keyed on the data's provenance column instead of the
+    physical partition."""
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nv = pc.cast(b["n_violations"], pa.int64())
+        t = pa.table({
+            "source": b["source"],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "invalid": pc.cast(pc.greater(nv, 0), pa.int64()),
+            "nv": nv})
+        return t.group_by("source").aggregate(
+            [("one", "sum"), ("invalid", "sum"), ("nv", "sum")]) \
+            .rename_columns(["source", "n_rows", "invalid_rows",
+                             "violation_count"])
+
+    parts = validate_dataset(ds, keep_columns=["source"]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        # rows with a null source still validate; group them as SQL does
+        key = r["source"]
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += int(r["n_rows"])
+        a[1] += int(r["invalid_rows"])
+        a[2] += int(r["violation_count"])
+    ks = sorted((k for k in agg if k is not None)) \
+        + ([None] if None in agg else [])
+    return pa.table({
+        "source": pa.array(ks, type=pa.string()),
+        "n_rows": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "invalid_rows": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+        "violation_count": pa.array([agg[k][2] for k in ks],
+                                    type=pa.int64())})
+
+
+def q_tokens_valid_rate_by_length(sf_dir: str):
+    """North-rule composition (round 5): validity vs sequence length — do
+    long token sequences break the schema more?  One validator pass,
+    64-token buckets (NULL n_tok -> bucket -1, matching the SQL
+    coalesce), bounded bucket combiners."""
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nv = pc.cast(b["n_violations"], pa.int64())
+        nt = pc.fill_null(b["n_tok"].cast(pa.int64()), -64) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = nt // 64      # floor division on both sides; NULL -> -1
+        t = pa.table({
+            "len_bucket": pa.array(bucket, type=pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "invalid": pc.cast(pc.greater(nv, 0), pa.int64())})
+        return t.group_by("len_bucket").aggregate(
+            [("one", "sum"), ("invalid", "sum")]) \
+            .rename_columns(["len_bucket", "n_rows", "invalid_rows"])
+
+    parts = validate_dataset(ds, keep_columns=["n_tok"]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["len_bucket"]), [0, 0])
+        a[0] += int(r["n_rows"])
+        a[1] += int(r["invalid_rows"])
+    ks = sorted(agg)
+    return pa.table({
+        "len_bucket": pa.array(ks, type=pa.int64()),
+        "n_rows": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "invalid_rows": pa.array([agg[k][1] for k in ks],
+                                 type=pa.int64())})
+
+
+def q_tokens_token_id_histogram(sf_dir: str):
+    """List-column vocabulary census (round 5): the 20 most frequent token
+    ids across every tokens list — unnest-free: pc.list_flatten +
+    value_counts per batch (bounded by VOCABULARY), one driver merge.
+    The list column never round-trips through Python."""
+    ds = _rd().read_parquet(_tokens_dir_for(sf_dir), columns=["tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col.drop_null())
+        flat = flat.drop_null()
+        vc = pc.value_counts(flat)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "token_id": vc.field("values").cast(pa.int64()),
+            "n": vc.field("counts").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["token_id"])] = agg.get(int(r["token_id"]), 0) \
+            + int(r["n"])
+    top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pa.table({
+        "token_id": pa.array([k for k, _ in top], type=pa.int64()),
+        "n_occurrences": pa.array([v for _, v in top], type=pa.int64())})
+
+
+def q_value_mad_outliers_by_type(sf_dir: str):
+    """Robust per-type outlier census (round 5): events whose value sits
+    more than 3 MADs from their type's exact median.  The value domain in
+    CENTS is bounded, so the whole computation is ONE scan of (type,
+    cents) count partials: the driver derives the exact median (DuckDB
+    quantile_disc rank: ceil(q*n)), the exact MAD from the SAME counts
+    (shifted absolute deviations), and the outlier count — no sort, no
+    second pass, no float division (compare dev > 3*mad in ints)."""
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b["event_type"],
+            "v": _cents(b["value"]),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by(["event_type", "v"]).aggregate([("one", "sum")]) \
+            .rename_columns(["event_type", "v", "n"])
+
+    parts = rd.read_parquet(_t(sf_dir, "events"),
+                            columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    counts: dict[str, dict[int, int]] = {}
+    for r in parts:
+        d = counts.setdefault(r["event_type"], {})
+        d[int(r["v"])] = d.get(int(r["v"]), 0) + int(r["n"])
+
+    def disc_median(pairs: list[tuple[int, int]], n: int) -> int:
+        rank = max(1, -(-n // 2))       # ceil(0.5 * n), 1-based
+        acc = 0
+        for v, c in pairs:
+            acc += c
+            if acc >= rank:
+                return v
+        return pairs[-1][0]
+
+    out = []
+    for ty in sorted(counts):
+        pairs = sorted(counts[ty].items())
+        n = sum(c for _, c in pairs)
+        med = disc_median(pairs, n)
+        devs: dict[int, int] = {}
+        for v, c in pairs:
+            d = abs(v - med)
+            devs[d] = devs.get(d, 0) + c
+        mad = disc_median(sorted(devs.items()), n)
+        n_out = sum(c for d, c in devs.items() if d > 3 * mad)
+        out.append((ty, med, mad, n_out))
+    return pa.table({
+        "event_type": pa.array([o[0] for o in out], type=pa.string()),
+        "median_c": pa.array([o[1] for o in out], type=pa.int64()),
+        "mad_c": pa.array([o[2] for o in out], type=pa.int64()),
+        "n_outliers": pa.array([o[3] for o in out], type=pa.int64())})
+
+
+SQL_VALUE_MAD_OUTLIERS_BY_TYPE = """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+      FROM c GROUP BY event_type),
+a AS (SELECT c.event_type, abs(v - med) AS dev
+      FROM c JOIN m USING (event_type)),
+d AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+      FROM a GROUP BY event_type)
+SELECT event_type, CAST(med AS BIGINT) AS median_c,
+       CAST(mad AS BIGINT) AS mad_c,
+       CAST(COUNT(*) FILTER (WHERE dev > 3 * mad) AS BIGINT) AS n_outliers
+FROM a JOIN d USING (event_type) JOIN m USING (event_type)
+GROUP BY event_type, med, mad ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7299,6 +7495,17 @@ REGISTRY: dict[str, tuple] = {
     # tests/test_queries_oracle.py every round.
     # ------------------------------------------------------------------
     # --- round-5 operators (window head) ---
+    "tokens_violations_by_source": (q_tokens_violations_by_source,
+                                    TOKENS_ORACLE_SQL[
+                                        "tokens_violations_by_source"]),
+    "tokens_valid_rate_by_length": (q_tokens_valid_rate_by_length,
+                                    TOKENS_ORACLE_SQL[
+                                        "tokens_valid_rate_by_length"]),
+    "tokens_token_id_histogram": (q_tokens_token_id_histogram,
+                                  TOKENS_ORACLE_SQL[
+                                      "tokens_token_id_histogram"]),
+    "value_mad_outliers_by_type": (q_value_mad_outliers_by_type,
+                                   SQL_VALUE_MAD_OUTLIERS_BY_TYPE),
     "doc_length_by_dup_status": (q_doc_length_by_dup_status,
                                  SQL_DOC_LENGTH_BY_DUP_STATUS),
     "dup_pair_source_mix": (q_dup_pair_source_mix,

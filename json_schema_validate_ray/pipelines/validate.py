@@ -68,9 +68,12 @@ def _cached_annotator(key: bytes, make):
 
 def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
                      id_column: str = "doc_id", batch_size=None,
-                     concurrency=None, compute: str = "tasks"):
-    """Lazy verdict dataset: input columns are pruned to the id and the
-    verdict columns; violations ride along as a JSON column (single pass).
+                     concurrency=None, compute: str = "tasks",
+                     keep_columns=None):
+    """Lazy verdict dataset: input columns are pruned to the id (plus any
+    ``keep_columns`` the caller needs downstream, e.g. a grouping key) and
+    the verdict columns; violations ride along as a JSON column (single
+    pass).
 
     ``compute="tasks"`` (default; measured 8.9 s -> 4.8-5.8 s at sf0.1/32
     cpus): stateless tasks with a per-worker-process cached plan — the plan +
@@ -91,7 +94,8 @@ def validate_dataset(ds, schema=TOKENS_SCHEMA, cross_checks=None,
 
     cross = default_cross_checks() if cross_checks is None else tuple(cross_checks)
     kwargs = {"schema": schema, "id_column": id_column, "cross_checks": cross,
-              "keep_columns": [id_column]}
+              "keep_columns": list(dict.fromkeys(
+                  [id_column] + list(keep_columns or [])))}
     if compute == "actors":
         # max_restarts=0: constructor kwargs (the schema dict) live in the
         # object store; a restart after they fall out of scope would fail
