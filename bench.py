@@ -169,7 +169,10 @@ def run_bench() -> dict:
              "boilerplate_ngrams", "incremental_dedup", "ann_ivfpq_topk",
              "source_vocab_overlap", "vocab_richness_by_source",
              "late_events_by_type", "local_supplier_volume",
-             "embedding_dim_stats", "user_modal_event_type"]
+             "embedding_dim_stats", "user_modal_event_type",
+             "discount_revenue", "tokens_violations_by_source",
+             "rare_token_score_by_source", "user_value_deciles",
+             "value_mad_outliers_by_type", "returned_revenue_by_nation"]
     reg = q.queries()
 
     def suite_runner(name):

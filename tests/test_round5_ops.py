@@ -225,3 +225,188 @@ def test_rolling_week_active_users_planted(ray_session, tmp_path):
     # windows ending at day 0/5/6/7 see user 1; 5 and 6 also see user 2;
     # day 20 is beyond both users' last activity + 6 except user 1's day 20
     assert m[0] == 1 and m[5] == 2 and m[6] == 2 and m[7] == 2 and m[20] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-5b operators (TPC-H suite, profiling, robust stats)
+# ---------------------------------------------------------------------------
+
+def _events_with_values(path, n=4000, seed=3):
+    """Heavy-tailed per-type values so the 3-MAD census actually fires,
+    plus deliberately imbalanced daily volume for the anomaly query."""
+    rng = np.random.default_rng(seed)
+    day_us = 86_400_000_000
+    # 20 days; day 3 is a 5x spike, day 17 a drought
+    day = rng.integers(0, 20, n)
+    day[rng.choice(n, n // 10, replace=False)] = 3
+    keep = ~((day == 17) & (rng.random(n) < 0.8))
+    day = day[keep]
+    m = len(day)
+    ts = day * day_us + rng.integers(0, day_us, m)
+    vals = rng.random(m) * 10
+    out_idx = rng.choice(m, m // 50, replace=False)
+    vals[out_idx] += 300.0   # planted outliers
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(m), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 37, m), type=pa.int64()),
+        "event_type": pa.array(
+            np.array(["click", "view", "error"])[rng.integers(0, 3, m)],
+            type=pa.string()),
+        "value": pa.array(np.round(vals, 2), type=pa.float64()),
+        "props": pa.array(["{}"] * m, type=pa.string()),
+    })
+    pq.write_table(tbl, str(path))
+
+
+def _duck(tmp_path, table="events"):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{table}.parquet')")
+    return con
+
+
+def test_value_mad_outliers_planted(ray_session, tmp_path):
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_VALUE_MAD_OUTLIERS_BY_TYPE, q_value_mad_outliers_by_type)
+    _events_with_values(tmp_path / "events.parquet")
+    got = q_value_mad_outliers_by_type(str(tmp_path)).to_pandas()
+    want = _duck(tmp_path).sql(SQL_VALUE_MAD_OUTLIERS_BY_TYPE).df()
+    assert got["n_outliers"].sum() > 0      # the planted tail fires
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_event_daily_anomaly_planted(ray_session, tmp_path):
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_EVENT_DAILY_ANOMALY, q_event_daily_anomaly)
+    _events_with_values(tmp_path / "events.parquet")
+    got = q_event_daily_anomaly(str(tmp_path)).to_pandas()
+    want = _duck(tmp_path).sql(SQL_EVENT_DAILY_ANOMALY).df()
+    assert set(got["direction"]) == {"high", "low"}   # both tails planted
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_top2_event_types_tie_break(ray_session, tmp_path):
+    """A user with two types at the SAME count must rank them by type
+    name, matching the SQL ORDER BY n DESC, event_type."""
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_TOP2_EVENT_TYPES_PER_USER, q_top2_event_types_per_user)
+    rows = []
+    for u, pairs in {1: [("view", 3), ("click", 3), ("error", 1)],
+                     2: [("error", 5)],
+                     3: [("click", 2), ("error", 2), ("view", 2)]}.items():
+        for ty, k in pairs:
+            rows += [(u, ty)] * k
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.arange(len(rows)), type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+        "value": pa.array(np.zeros(len(rows)), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_top2_event_types_per_user(str(tmp_path))
+    got = pa.Table.from_pylist(got.take_all()).to_pandas() \
+        .sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    want = _duck(tmp_path).sql(
+        SQL_TOP2_EVENT_TYPES_PER_USER + " ORDER BY user_id, rnk").df()
+    assert got[got.user_id == 1].event_type.tolist() == ["click", "view"]
+    assert len(got[got.user_id == 2]) == 1
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_user_value_deciles_ntile_fill(ray_session, tmp_path):
+    """23 users over 10 tiles: the first 3 tiles take 3 users each (the
+    SQL NTILE fill rule), the rest 2."""
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_USER_VALUE_DECILES, q_user_value_deciles)
+    rng = np.random.default_rng(5)
+    n = 900
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(np.arange(n), type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 23, n), type=pa.int64()),
+        "event_type": pa.array(["click"] * n, type=pa.string()),
+        "value": pa.array(np.round(rng.random(n) * 9, 2),
+                          type=pa.float64()),
+        "props": pa.array(["{}"] * n, type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_user_value_deciles(str(tmp_path)).to_pandas()
+    want = _duck(tmp_path).sql(SQL_USER_VALUE_DECILES).df()
+    assert got["n_users"].tolist() == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_quality_filter_empty_and_short_text(ray_session, tmp_path):
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_QUALITY_FILTER_BY_LANG, q_quality_filter_by_lang)
+    long_good = " ".join(["the"] + ["word"] * 40)     # 41 toks, 1 stop
+    long_bad = " ".join(["word"] * 50)                # no stopwords
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(6), type=pa.int64()),
+        "text": pa.array(["", "   ", "a b", long_good, long_bad,
+                          " ".join(["to"] * 30)], type=pa.string()),
+        "lang": pa.array(["en"] * 6, type=pa.string()),
+        "source": pa.array(["s"] * 6, type=pa.string()),
+        "n_chars": pa.array([0, 3, 3, len(long_good), len(long_bad), 89],
+                            type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q_quality_filter_by_lang(str(tmp_path)).to_pandas()
+    want = _duck(tmp_path, "documents").sql(
+        SQL_QUALITY_FILTER_BY_LANG).df()
+    assert got["n_docs"].iloc[0] == 6
+    assert got["n_kept"].iloc[0] == 2   # long_good + all-stopword doc
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_large_volume_orders_planted(ray_session, tmp_path):
+    from json_schema_validate_ray.pipelines.queries import (
+        SQL_LARGE_VOLUME_ORDERS, q_large_volume_orders)
+    rng = np.random.default_rng(9)
+    n_orders = 200
+    lines = []
+    for ok in range(n_orders):
+        heavy = ok % 17 == 0
+        for ln in range(6 if heavy else 3):
+            q = 90 if heavy else rng.integers(1, 40)
+            lines.append((ok, ln + 1, float(q)))
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in lines], type=pa.int64()),
+        "l_partkey": pa.array(np.ones(len(lines)), type=pa.int64()),
+        "l_suppkey": pa.array(np.ones(len(lines)), type=pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in lines], type=pa.int32()),
+        "l_quantity": pa.array([r[2] for r in lines], type=pa.float64()),
+        "l_extendedprice": pa.array(np.ones(len(lines)),
+                                    type=pa.float64()),
+        "l_discount": pa.array(np.zeros(len(lines)), type=pa.float64()),
+        "l_tax": pa.array(np.zeros(len(lines)), type=pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(lines), type=pa.string()),
+        "l_linestatus": pa.array(["O"] * len(lines), type=pa.string()),
+        "l_shipdate": pa.array(np.zeros(len(lines), dtype=np.int64),
+                               type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders), type=pa.int64()),
+        "o_custkey": pa.array(np.arange(n_orders) % 31, type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n_orders, type=pa.string()),
+        "o_totalprice": pa.array(np.ones(n_orders), type=pa.float64()),
+        "o_orderdate": pa.array(np.zeros(n_orders, dtype=np.int64),
+                                type=pa.int64()).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["5-LOW"] * n_orders,
+                                    type=pa.string()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = q_large_volume_orders(str(tmp_path)).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    con = _duck(tmp_path, "lineitem")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')")
+    want = con.sql(SQL_LARGE_VOLUME_ORDERS + " ORDER BY o_orderkey").df()
+    assert len(got) == len([k for k in range(n_orders) if k % 17 == 0])
+    assert got.equals(want.reset_index(drop=True))
