@@ -6646,17 +6646,19 @@ def q_quality_filter_by_lang(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         t = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
         toks = pc.split_pattern_regex(t, pattern=r"\s+")
-        ncount = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        raw_len = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         empty = pc.equal(t, "").to_numpy(zero_copy_only=False)
-        ncount[empty] = 0
+        # rows indexes every FLAT token (splitting "" still yields [""]);
+        # the empty-doc zeroing happens on the counts, not the layout
+        ncount = np.where(empty, 0, raw_len)
         flat = pc.list_flatten(toks)
-        rows = np.repeat(np.arange(b.num_rows, dtype=np.int64), ncount)
+        rows = np.repeat(np.arange(b.num_rows, dtype=np.int64), raw_len)
         is_stop = pc.is_in(flat, value_set=stop_set).to_numpy(
             zero_copy_only=False)
         stop_cnt = np.bincount(rows[is_stop], minlength=b.num_rows) \
             .astype(np.int64)
-        kept = (ncount >= 30) & (20 * stop_cnt >= ncount)
+        kept = (ncount >= 30) & (20 * stop_cnt >= ncount) & (ncount > 0)
         tbl = pa.table({
             "lang": b["lang"],
             "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),

@@ -271,7 +271,8 @@ def test_value_mad_outliers_planted(ray_session, tmp_path):
         SQL_VALUE_MAD_OUTLIERS_BY_TYPE, q_value_mad_outliers_by_type)
     _events_with_values(tmp_path / "events.parquet")
     got = q_value_mad_outliers_by_type(str(tmp_path)).to_pandas()
-    want = _duck(tmp_path).sql(SQL_VALUE_MAD_OUTLIERS_BY_TYPE).df()
+    con = _duck(tmp_path)   # keep the connection alive past .sql()
+    want = con.sql(SQL_VALUE_MAD_OUTLIERS_BY_TYPE).df()
     assert got["n_outliers"].sum() > 0      # the planted tail fires
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
 
@@ -281,7 +282,8 @@ def test_event_daily_anomaly_planted(ray_session, tmp_path):
         SQL_EVENT_DAILY_ANOMALY, q_event_daily_anomaly)
     _events_with_values(tmp_path / "events.parquet")
     got = q_event_daily_anomaly(str(tmp_path)).to_pandas()
-    want = _duck(tmp_path).sql(SQL_EVENT_DAILY_ANOMALY).df()
+    con = _duck(tmp_path)
+    want = con.sql(SQL_EVENT_DAILY_ANOMALY).df()
     assert set(got["direction"]) == {"high", "low"}   # both tails planted
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
 
@@ -310,7 +312,8 @@ def test_top2_event_types_tie_break(ray_session, tmp_path):
     got = q_top2_event_types_per_user(str(tmp_path))
     got = pa.Table.from_pylist(got.take_all()).to_pandas() \
         .sort_values(["user_id", "rnk"]).reset_index(drop=True)
-    want = _duck(tmp_path).sql(
+    con = _duck(tmp_path)
+    want = con.sql(
         SQL_TOP2_EVENT_TYPES_PER_USER + " ORDER BY user_id, rnk").df()
     assert got[got.user_id == 1].event_type.tolist() == ["click", "view"]
     assert len(got[got.user_id == 2]) == 1
@@ -336,7 +339,8 @@ def test_user_value_deciles_ntile_fill(ray_session, tmp_path):
     })
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     got = q_user_value_deciles(str(tmp_path)).to_pandas()
-    want = _duck(tmp_path).sql(SQL_USER_VALUE_DECILES).df()
+    con = _duck(tmp_path)
+    want = con.sql(SQL_USER_VALUE_DECILES).df()
     assert got["n_users"].tolist() == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
 
@@ -344,7 +348,7 @@ def test_user_value_deciles_ntile_fill(ray_session, tmp_path):
 def test_quality_filter_empty_and_short_text(ray_session, tmp_path):
     from json_schema_validate_ray.pipelines.queries import (
         SQL_QUALITY_FILTER_BY_LANG, q_quality_filter_by_lang)
-    long_good = " ".join(["the"] + ["word"] * 40)     # 41 toks, 1 stop
+    long_good = " ".join(["the", "a", "of"] + ["word"] * 37)  # 40 toks, 3 stops (7.5%)
     long_bad = " ".join(["word"] * 50)                # no stopwords
     tbl = pa.table({
         "doc_id": pa.array(np.arange(6), type=pa.int64()),
@@ -357,8 +361,8 @@ def test_quality_filter_empty_and_short_text(ray_session, tmp_path):
     })
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     got = q_quality_filter_by_lang(str(tmp_path)).to_pandas()
-    want = _duck(tmp_path, "documents").sql(
-        SQL_QUALITY_FILTER_BY_LANG).df()
+    con = _duck(tmp_path, "documents")
+    want = con.sql(SQL_QUALITY_FILTER_BY_LANG).df()
     assert got["n_docs"].iloc[0] == 6
     assert got["n_kept"].iloc[0] == 2   # long_good + all-stopword doc
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
