@@ -6721,9 +6721,13 @@ def q_rare_token_score_by_source(sf_dir: str):
         return pa.table({"tok": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
+    # distributed census merge: the per-batch partials are vocab-sized, so
+    # the driver must see vocab ROWS, not vocab x blocks — one bounded
+    # groupby collapses the partials before take_all
     freq: dict[str, int] = {}
-    for r in ds.map_batches(census, batch_format="pyarrow").take_all():
-        freq[r["tok"]] = freq.get(r["tok"], 0) + int(r["n"])
+    for r in ds.map_batches(census, batch_format="pyarrow") \
+            .groupby("tok").sum("n").take_all():
+        freq[r["tok"]] = freq.get(r["tok"], 0) + int(r["sum(n)"])
     # rank 1..V by (freq desc, token asc) — ROW_NUMBER semantics
     vocab = sorted(freq, key=lambda t: (-freq[t], t))
     vocab_arr = pa.array(vocab, type=pa.string())
@@ -6792,6 +6796,7 @@ def q_event_daily_anomaly(sf_dir: str):
     sides.  Per-(type, day) counts collapse in per-batch combiners (key
     space = types x days, bounded); the driver computes the per-type means
     over tiny partials."""
+    from .dedup import _group_by_key_buckets
     rd = _rd()
 
     def partial(b: pa.Table) -> pa.Table:
@@ -6800,12 +6805,27 @@ def q_event_daily_anomaly(sf_dir: str):
         t = pa.table({"event_type": b["event_type"],
                       "day": pa.array(day, type=pa.int64()),
                       "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
-        return t.group_by(["event_type", "day"]).aggregate([("one", "sum")]) \
+        g = t.group_by(["event_type", "day"]).aggregate([("one", "sum")]) \
+            .rename_columns(["event_type", "day", "n"])
+        pair = pc.binary_join_element_wise(
+            g["event_type"], pc.cast(g["day"], pa.string()), "\x1f")
+        return g.append_column("pair", pair)
+
+    def merge(g):
+        t = pa.table({"event_type": pa.array(g["event_type"],
+                                             type=pa.string()),
+                      "day": pa.array(g["day"], type=pa.int64()),
+                      "n": pa.array(g["n"], type=pa.int64())})
+        return t.group_by(["event_type", "day"]).aggregate([("n", "sum")]) \
             .rename_columns(["event_type", "day", "n"])
 
-    parts = rd.read_parquet(_t(sf_dir, "events"),
-                            columns=["ts", "event_type"]) \
-        .map_batches(partial, batch_format="pyarrow").take_all()
+    # pair-bucketed distributed merge: driver state is types x days
+    # (bounded), never partials x blocks
+    parts = _group_by_key_buckets(
+        rd.read_parquet(_t(sf_dir, "events"),
+                        columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow"), "pair") \
+        .map_groups(merge, batch_format="pandas").take_all()
     counts: dict[tuple[str, int], int] = {}
     for r in parts:
         k = (r["event_type"], int(r["day"]))
@@ -7202,7 +7222,13 @@ def q_dup_pair_source_mix(sf_dir: str):
     cross-crawl syndication.  COMPOSITION: the PPJoin pair pipeline's ids
     probe a broadcast doc_id -> source dictionary (one streaming pass over
     the bounded pair list); the oracle joins the same all-pairs CTE to the
-    source column twice."""
+    source column twice.
+
+    Partitioning assumption: the id->source dictionary broadcasts WHOLE
+    (fine to ~100M docs at 12 B/entry); above that, gate on the distinct
+    candidate-id count and switch to the hash-join fetch exactly as
+    dedup._verify_candidate_pairs does — pair ids are bounded by the
+    threshold, so the join side stays skinny."""
     from .dedup import ngram_jaccard_pairs
     import ray
     import pyarrow.parquet as pq
@@ -7398,11 +7424,11 @@ def q_tokens_token_id_histogram(sf_dir: str):
             "token_id": vc.field("values").cast(pa.int64()),
             "n": vc.field("counts").cast(pa.int64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    agg: dict[int, int] = {}
-    for r in parts:
-        agg[int(r["token_id"])] = agg.get(int(r["token_id"]), 0) \
-            + int(r["n"])
+    # one bounded groupby collapses the vocab-sized partials before the
+    # driver sees them (vocab rows, not vocab x blocks)
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token_id").sum("n").take_all()
+    agg = {int(r["token_id"]): int(r["sum(n)"]) for r in parts}
     top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     return pa.table({
         "token_id": pa.array([k for k, _ in top], type=pa.int64()),
@@ -7417,6 +7443,7 @@ def q_value_mad_outliers_by_type(sf_dir: str):
     quantile_disc rank: ceil(q*n)), the exact MAD from the SAME counts
     (shifted absolute deviations), and the outlier count — no sort, no
     second pass, no float division (compare dev > 3*mad in ints)."""
+    from .dedup import _group_by_key_buckets
     rd = _rd()
 
     def partial(b: pa.Table) -> pa.Table:
@@ -7424,12 +7451,27 @@ def q_value_mad_outliers_by_type(sf_dir: str):
             "event_type": b["event_type"],
             "v": _cents(b["value"]),
             "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
-        return t.group_by(["event_type", "v"]).aggregate([("one", "sum")]) \
+        g = t.group_by(["event_type", "v"]).aggregate([("one", "sum")]) \
+            .rename_columns(["event_type", "v", "n"])
+        pair = pc.binary_join_element_wise(
+            g["event_type"], pc.cast(g["v"], pa.string()), "\x1f")
+        return g.append_column("pair", pair)
+
+    def merge(g):
+        t = pa.table({"event_type": pa.array(g["event_type"],
+                                             type=pa.string()),
+                      "v": pa.array(g["v"], type=pa.int64()),
+                      "n": pa.array(g["n"], type=pa.int64())})
+        return t.group_by(["event_type", "v"]).aggregate([("n", "sum")]) \
             .rename_columns(["event_type", "v", "n"])
 
-    parts = rd.read_parquet(_t(sf_dir, "events"),
-                            columns=["event_type", "value"]) \
-        .map_batches(partial, batch_format="pyarrow").take_all()
+    # pair-bucketed distributed merge: the driver sees DISTINCT (type,
+    # cents) pairs (bounded domain), never pairs x blocks
+    parts = _group_by_key_buckets(
+        rd.read_parquet(_t(sf_dir, "events"),
+                        columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"), "pair") \
+        .map_groups(merge, batch_format="pandas").take_all()
     counts: dict[str, dict[int, int]] = {}
     for r in parts:
         d = counts.setdefault(r["event_type"], {})
