@@ -7522,6 +7522,183 @@ GROUP BY event_type, med, mad ORDER BY event_type
 """
 
 
+def q_nation_trade_matrix(sf_dir: str):
+    """TPC-H Q7-shaped cross-nation trade volume (round 5): discounted
+    revenue by (supplier nation, customer nation) for CROSS-nation pairs.
+    The supplier and customer dimensions broadcast as sorted key->nation
+    probes; lineitem collapses to (orderkey, supp_nation, rev) combiner
+    partials; ONE skinny hash join attaches custkey; the final matrix is
+    bounded 25 x 25 combiners.  The fact table itself never join-shuffles
+    — only its per-(order, nation) partials do."""
+    import ray
+    import pyarrow.parquet as pq
+    rd = _rd()
+
+    def _dim(table: str, key: str, val: str):
+        t = pq.read_table(_t(sf_dir, table), columns=[key, val])
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k)
+        return k[order], t[val].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+
+    sref = ray.put(_dim("supplier", "s_suppkey", "s_nationkey"))
+    cref = ray.put(_dim("customer", "c_custkey", "c_nationkey"))
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    names = {int(k): v for k, v in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())}
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        sk, snat = ray.get(sref)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "snat": pa.array(snat[np.searchsorted(sk, s)],
+                             type=pa.int64()),
+            "rev": pa.array(ext_c * (100 - d), type=pa.int64())})
+        return t.group_by(["o_orderkey", "snat"]).aggregate(
+            [("rev", "sum")]).rename_columns(["o_orderkey", "snat", "rev"])
+
+    rev = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    nparts = max(2, _conc())
+    joined = rev.repartition(nparts).join(
+        orders.repartition(nparts), join_type="inner",
+        num_partitions=nparts, on=("o_orderkey",))
+
+    def matrix_partial(b: pa.Table) -> pa.Table:
+        ck, cnat = ray.get(cref)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "snat": b["snat"],
+            "cnat": pa.array(cnat[np.searchsorted(ck, c)],
+                             type=pa.int64()),
+            "rev": b["rev"]})
+        return t.group_by(["snat", "cnat"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["snat", "cnat", "rev"])
+
+    parts = joined.map_batches(matrix_partial,
+                               batch_format="pyarrow").take_all()
+    agg: dict[tuple[int, int], int] = {}
+    for r in parts:
+        k = (int(r["snat"]), int(r["cnat"]))
+        if k[0] != k[1]:
+            agg[k] = agg.get(k, 0) + int(r["rev"])
+    ks = sorted(agg, key=lambda k: (names[k[0]], names[k[1]]))
+    return pa.table({
+        "supp_nation": pa.array([names[k[0]] for k in ks],
+                                type=pa.string()),
+        "cust_nation": pa.array([names[k[1]] for k in ks],
+                                type=pa.string()),
+        "revenue_x1e4": pa.array([agg[k] for k in ks], type=pa.int64())})
+
+
+SQL_NATION_TRADE_MATRIX = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_x1e4
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY supp_nation, cust_nation ORDER BY supp_nation, cust_nation
+"""
+
+
+def q_orders_backlog_daily(sf_dir: str):
+    """Sweep-line interval aggregation (round 5): how many orders are OPEN
+    (placed, not yet fully shipped) on each day — an order is open from
+    o_orderdate through its LAST lineitem l_shipdate inclusive.  The
+    classic difference-array shape: per-order intervals from one skinny
+    groupby (orderkey -> max shipdate), per-batch +1/-1 delta partials
+    over the bounded DAY domain, one driver cumsum — O(days) driver
+    state, and nothing ever explodes into per-(order x day) rows (the
+    SQL oracle pays that explosion; the engine never does)."""
+    rd = _rd()
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": b["l_orderkey"],
+                      "ship": b["l_shipdate"].cast(pa.int64())})
+        return t.group_by("o_orderkey").aggregate([("ship", "max")]) \
+            .rename_columns(["o_orderkey", "ship"])
+
+    last_ship = rd.read_parquet(_t(sf_dir, "lineitem"),
+                                columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(ship_partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").max("ship")
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+    nparts = max(2, _conc())
+    joined = last_ship.repartition(nparts).join(
+        orders.repartition(nparts), join_type="inner",
+        num_partitions=nparts, on=("o_orderkey",))
+
+    def delta_partial(b: pa.Table) -> pa.Table:
+        start = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // _US_PER_DAY
+        end = b["max(ship)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) // _US_PER_DAY
+        # the synthetic data has orders whose last shipment precedes the
+        # order date; an empty interval contributes no open days
+        ok = end >= start
+        start, end = start[ok], end[ok]
+        days = np.concatenate([start, end + 1])
+        deltas = np.concatenate([np.ones(len(start), dtype=np.int64),
+                                 -np.ones(len(end), dtype=np.int64)])
+        t = pa.table({"day": pa.array(days, type=pa.int64()),
+                      "delta": pa.array(deltas)})
+        return t.group_by("day").aggregate([("delta", "sum")]) \
+            .rename_columns(["day", "delta"])
+
+    parts = joined.map_batches(delta_partial,
+                               batch_format="pyarrow").take_all()
+    deltas: dict[int, int] = {}
+    for r in parts:
+        deltas[int(r["day"])] = deltas.get(int(r["day"]), 0) \
+            + int(r["delta"])
+    days = sorted(deltas)
+    if not days:
+        return pa.table({"day": pa.array([], type=pa.timestamp("us")),
+                         "n_open": pa.array([], type=pa.int64())})
+    full = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+    arr = np.zeros(len(full), dtype=np.int64)
+    for d, v in deltas.items():
+        arr[d - days[0]] += v
+    open_cnt = np.cumsum(arr)
+    keep = open_cnt > 0
+    # the +1 sentinel day after the last close has count 0 and is dropped
+    return pa.table({
+        "day": pa.array(full[keep] * _US_PER_DAY,
+                        type=pa.int64()).cast(pa.timestamp("us")),
+        "n_open": pa.array(open_cnt[keep], type=pa.int64())})
+
+
+SQL_ORDERS_BACKLOG_DAILY = """
+WITH iv AS (SELECT o_orderkey, date_trunc('day', o_orderdate) AS d0,
+                   date_trunc('day', MAX(l_shipdate)) AS d1
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, d0),
+days AS (SELECT iv.o_orderkey,
+                unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM iv)
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS n_open
+FROM days GROUP BY day ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7628,7 +7805,12 @@ REGISTRY: dict[str, tuple] = {
     "event_followups": (q_event_followups, SQL_EVENT_FOLLOWUPS),
     "doc_length_gini": (q_doc_length_gini, SQL_DOC_LENGTH_GINI),
     "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH_CURVE),
-    # --- stale-coverage veterans (slots 27-50; last driver row r03) ---
+    # --- round-5 additions past the window (the 50 slots above are full;
+    # these are covered by tools/strict_oracle_check.py + pytest) ---
+    "nation_trade_matrix": (q_nation_trade_matrix, SQL_NATION_TRADE_MATRIX),
+    "orders_backlog_daily": (q_orders_backlog_daily,
+                             SQL_ORDERS_BACKLOG_DAILY),
+    # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
     "value_range_events": (q_value_range_events, SQL_VALUE_RANGE_EVENTS),
