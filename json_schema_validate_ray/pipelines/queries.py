@@ -7699,6 +7699,211 @@ FROM days GROUP BY day ORDER BY day
 """
 
 
+def q_orders_per_customer_histogram(sf_dir: str):
+    """TPC-H Q13-shaped order-count distribution (round 5): how many
+    customers placed exactly k orders, INCLUDING zero-order customers.
+    The SQL pays a customer-x-orders LEFT JOIN for the zeros; the engine
+    never joins at all — per-batch (custkey, n) value-count partials,
+    ONE skinny groupby-sum, per-block histogram partials over the small
+    count domain merged on the driver, and the zero bucket is
+    n_customers - n_customers_with_orders (the customer side contributes
+    only a metadata row count)."""
+    rd = _rd()
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        vc = b["o_custkey"].cast(pa.int64()).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"k": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    per_cust = rd.read_parquet(_t(sf_dir, "orders"),
+                               columns=["o_custkey"]) \
+        .map_batches(cnt_partial, batch_format="pyarrow") \
+        .groupby("k").sum("n")
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        vc = b["sum(n)"].cast(pa.int64()).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"c_count": vc.field("values"),
+                         "custdist": vc.field("counts").cast(pa.int64())})
+
+    parts = per_cust.map_batches(hist_partial,
+                                 batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["c_count"])] = agg.get(int(r["c_count"]), 0) \
+            + int(r["custdist"])
+    n_with = sum(agg.values())
+    n_cust = rd.read_parquet(_t(sf_dir, "customer"),
+                             columns=["c_custkey"]).count()
+    if n_cust - n_with > 0:
+        agg[0] = agg.get(0, 0) + (n_cust - n_with)
+    ks = sorted(agg, key=lambda k: (-agg[k], -k))
+    return pa.table({
+        "c_count": pa.array(ks, type=pa.int64()),
+        "custdist": pa.array([agg[k] for k in ks], type=pa.int64())})
+
+
+SQL_ORDERS_PER_CUSTOMER_HISTOGRAM = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q15_LO = 852076800000000   # 1997-01-01 in microseconds since epoch
+_Q15_HI = 859852800000000   # 1997-04-01
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15-shaped top-supplier report (round 5): the supplier(s)
+    with the maximum discounted revenue over 1997 Q1, with ties kept.
+    One column-pruned scan collapses to (suppkey, rev-cents) combiner
+    partials; ONE skinny groupby-sum gives per-supplier totals (bounded
+    by |supplier|, materialized distributedly — never on the driver);
+    per-block max partials find the global max; the tiny winner set is
+    the only thing the driver touches, name-joined against a broadcast
+    supplier probe."""
+    import ray
+    import pyarrow.parquet as pq
+    rd = _rd()
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64())
+        m = pc.and_(pc.greater_equal(ts, _Q15_LO), pc.less(ts, _Q15_HI))
+        b = b.filter(m)
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"sk": b["l_suppkey"].cast(pa.int64()),
+                      "rev": pa.array(ext_c * (100 - d), type=pa.int64())})
+        return t.group_by("sk").aggregate([("rev", "sum")]) \
+            .rename_columns(["sk", "rev"])
+
+    totals = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("sk").sum("rev").materialize()
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        v = pc.max(b["sum(rev)"]).as_py()
+        if v is None:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(v)], type=pa.int64())})
+
+    maxima = totals.map_batches(max_partial,
+                                batch_format="pyarrow").take_all()
+    if not maxima:
+        return pa.table({"suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string()),
+                         "total_rev_x1e4": pa.array([], type=pa.int64())})
+    gmax = max(int(r["m"]) for r in maxima)
+
+    def winner_partial(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["sum(rev)"], gmax))
+
+    winners = totals.map_batches(winner_partial,
+                                 batch_format="pyarrow").take_all()
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"])
+    names = {int(k): v for k, v in zip(sup["s_suppkey"].to_pylist(),
+                                       sup["s_name"].to_pylist())}
+    ws = sorted(int(r["sk"]) for r in winners)
+    return pa.table({
+        "suppkey": pa.array(ws, type=pa.int64()),
+        "s_name": pa.array([names[k] for k in ws], type=pa.string()),
+        "total_rev_x1e4": pa.array([gmax] * len(ws), type=pa.int64())})
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH r AS (SELECT l_suppkey,
+                  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name,
+       CAST(rev AS BIGINT) AS total_rev_x1e4
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev = (SELECT MAX(rev) FROM r)
+ORDER BY suppkey
+"""
+
+
+def q_special_part_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue scan (round 5):
+    revenue from lineitems whose part matches one of three
+    (brand, size-range, quantity-range) profiles.  The part attributes
+    broadcast once as a sorted partkey probe (brand dictionary codes +
+    sizes); every lineitem batch evaluates the OR-of-ANDs vectorized and
+    contributes one scalar partial — no join, no shuffle, O(blocks)
+    driver state."""
+    import ray
+    rd = _rd()
+    pk, brands = _part_dim(sf_dir, "p_brand")
+    _, sizes = _part_dim(sf_dir, "p_size")
+    uniq = brands.unique()
+    bcode = pc.index_in(brands, value_set=uniq).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sz = sizes.to_numpy(zero_copy_only=False).astype(np.int64)
+    bnames = uniq.to_pylist()
+    want = []
+    for brand, szlo, szhi, qlo, qhi in [
+            ("Brand#12", 1, 5, 1, 11), ("Brand#23", 1, 10, 10, 20),
+            ("Brand#34", 1, 15, 20, 30)]:
+        want.append((bnames.index(brand) if brand in bnames else -1,
+                     szlo, szhi, qlo, qhi))
+    ref = ray.put((pk, bcode, sz, want))
+
+    def partial(b: pa.Table) -> pa.Table:
+        kpk, kbc, ksz, kwant = ray.get(ref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(kpk, lp)
+        bc, s = kbc[pos], ksz[pos]
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        m = np.zeros(len(lp), dtype=bool)
+        for code, szlo, szhi, qlo, qhi in kwant:
+            m |= (bc == code) & (s >= szlo) & (s <= szhi) \
+                & (q >= qlo) & (q <= qhi)
+        ext_c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        rev = int((ext_c[m] * (100 - d[m])).sum())
+        return pa.table({"rev": pa.array([rev], type=pa.int64())})
+
+    parts = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({"revenue_x1e4": pa.array(
+        [sum(int(r["rev"]) for r in parts)], type=pa.int64())})
+
+
+SQL_SPECIAL_PART_REVENUE = """
+SELECT CAST(COALESCE(SUM(
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+       AS BIGINT) AS revenue_x1e4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7810,6 +8015,12 @@ REGISTRY: dict[str, tuple] = {
     "nation_trade_matrix": (q_nation_trade_matrix, SQL_NATION_TRADE_MATRIX),
     "orders_backlog_daily": (q_orders_backlog_daily,
                              SQL_ORDERS_BACKLOG_DAILY),
+    "orders_per_customer_histogram": (q_orders_per_customer_histogram,
+                                      SQL_ORDERS_PER_CUSTOMER_HISTOGRAM),
+    "top_supplier_revenue": (q_top_supplier_revenue,
+                             SQL_TOP_SUPPLIER_REVENUE),
+    "special_part_revenue": (q_special_part_revenue,
+                             SQL_SPECIAL_PART_REVENUE),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
