@@ -7904,6 +7904,150 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q_funnel_latency_quantiles(sf_dir: str):
+    """Funnel LATENCY distribution (round 5): exact PERCENTILE_DISC
+    quantiles of the per-user first-click -> first-purchase delay, in
+    whole minutes.  Extends the funnel family from counts to timing:
+    per-batch (user, min click, min purchase) combiner partials, one
+    user-bucketed merge, then the converted users' delays collapse to a
+    BOUNDED (minute -> count) histogram (a 30-day span is <= 43k distinct
+    minutes) whose partials the driver merges to read the quantiles off
+    the cumulative counts — no sort, no full-column shuffle."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                          "event_type": b["event_type"].to_pandas(),
+                          "ts": b["ts"].to_pandas()})
+        clk = g[g["event_type"] == "click"].groupby("user_id")["ts"].min()
+        pur = g[g["event_type"] == "purchase"].groupby("user_id")["ts"] \
+            .min()
+        out = pd.DataFrame({"t0": clk, "t1": pur}).reset_index()
+        return pa.table({
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "t0": pa.Array.from_pandas(out["t0"]).cast(pa.timestamp("us")),
+            "t1": pa.Array.from_pandas(out["t1"]).cast(pa.timestamp("us")),
+        })
+
+    def merge(g):
+        out = g.groupby("user_id").agg(t0=("t0", "min"),
+                                       t1=("t1", "min")).reset_index()
+        conv = out[out["t1"] > out["t0"]]
+        dm = ((conv["t1"].astype("int64") - conv["t0"].astype("int64"))
+              // 60_000_000)
+        vc = dm.value_counts()
+        return pa.table({
+            "dm": pa.array(vc.index.to_numpy(), type=pa.int64()),
+            "n": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    parts = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id").map_groups(merge, batch_format="pandas").take_all()
+    hist: dict[int, int] = {}
+    for r in parts:
+        hist[int(r["dm"])] = hist.get(int(r["dm"]), 0) + int(r["n"])
+    n = sum(hist.values())
+    if n == 0:
+        return pa.table({
+            "n_users": pa.array([0], type=pa.int64()),
+            "p50_delta_min": pa.array([None], type=pa.int64()),
+            "p90_delta_min": pa.array([None], type=pa.int64())})
+
+    def disc(q: float) -> int:
+        # smallest value whose cumulative count >= ceil(q * n)
+        need = -(-int(q * 1000 * n) // 1000)
+        cum = 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum >= need:
+                return v
+        return max(hist)
+
+    return pa.table({
+        "n_users": pa.array([n], type=pa.int64()),
+        "p50_delta_min": pa.array([disc(0.5)], type=pa.int64()),
+        "p90_delta_min": pa.array([disc(0.9)], type=pa.int64())})
+
+
+SQL_FUNNEL_LATENCY_QUANTILES = """
+WITH c AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+d AS (SELECT CAST((epoch_us(t1) - epoch_us(t0)) // 60000000 AS BIGINT)
+             AS dm
+      FROM c JOIN p USING (user_id) WHERE t1 > t0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY dm) AS BIGINT)
+           AS p50_delta_min,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY dm) AS BIGINT)
+           AS p90_delta_min
+FROM d
+"""
+
+
+def q_event_type_cooccurrence(sf_dir: str):
+    """User-level event-type CO-OCCURRENCE matrix (round 5): for every
+    unordered pair of event types, how many users performed both —
+    the set-based complement of the sequential ``event_transitions``
+    matrix.  Per-batch distinct (user, type) partials, one user-bucketed
+    merge where each bucket self-pairs its per-user type sets with a
+    vectorized pandas self-join (types are a tiny closed set, so a user
+    contributes <= C(5,2) pairs), and the driver merges a bounded
+    |types|^2 matrix of partials."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                          "event_type": b["event_type"].to_pandas()})
+        out = g.drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "event_type": pa.array(out["event_type"], type=pa.string())})
+
+    def merge(g):
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            "type_a": pa.array(out["event_type_x"], type=pa.string()),
+            "type_b": pa.array(out["event_type_y"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64())})
+
+    parts = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id").map_groups(merge, batch_format="pandas").take_all()
+    agg: dict[tuple[str, str], int] = {}
+    for r in parts:
+        k = (r["type_a"], r["type_b"])
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    ks = sorted(agg)
+    return pa.table({
+        "type_a": pa.array([k[0] for k in ks], type=pa.string()),
+        "type_b": pa.array([k[1] for k in ks], type=pa.string()),
+        "n_users": pa.array([agg[k] for k in ks], type=pa.int64())})
+
+
+SQL_EVENT_TYPE_COOCCURRENCE = """
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u a JOIN u b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8021,6 +8165,10 @@ REGISTRY: dict[str, tuple] = {
                              SQL_TOP_SUPPLIER_REVENUE),
     "special_part_revenue": (q_special_part_revenue,
                              SQL_SPECIAL_PART_REVENUE),
+    "funnel_latency_quantiles": (q_funnel_latency_quantiles,
+                                 SQL_FUNNEL_LATENCY_QUANTILES),
+    "event_type_cooccurrence": (q_event_type_cooccurrence,
+                                SQL_EVENT_TYPE_COOCCURRENCE),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
