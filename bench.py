@@ -172,7 +172,11 @@ def run_bench() -> dict:
              "embedding_dim_stats", "user_modal_event_type",
              "discount_revenue", "tokens_violations_by_source",
              "rare_token_score_by_source", "user_value_deciles",
-             "value_mad_outliers_by_type", "returned_revenue_by_nation"]
+             "value_mad_outliers_by_type", "returned_revenue_by_nation",
+             "nation_trade_matrix", "orders_backlog_daily",
+             "orders_per_customer_histogram", "top_supplier_revenue",
+             "special_part_revenue", "funnel_latency_quantiles",
+             "event_type_cooccurrence"]
     reg = q.queries()
 
     def suite_runner(name):
