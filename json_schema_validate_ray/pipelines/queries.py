@@ -4753,6 +4753,11 @@ def q_local_supplier_volume(sf_dir: str):
     lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
     hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
 
+    # (A union+groupby-on-(k, n) variant that avoids the hash join
+    # measured consistently SLOWER here — the lineitem side has many
+    # rows per key and the wider sort key costs more than the join
+    # actors; contrast q_returned_revenue_by_nation where the sides are
+    # one-row-per-key and union+groupby wins.)
     def orders_side(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
                     pc.less(b["o_orderdate"], hi))
@@ -6121,8 +6126,9 @@ def q_returned_revenue_by_nation(sf_dir: str):
     """TPC-H Q10-shaped returned-item report (round 5): discounted revenue
     of RETURNED lineitems by customer nation.  The R-flag filter prunes at
     the scan; per-orderkey revenue collapses in combiners; the skinny
-    (orderkey, revenue) side hash-joins the skinny (orderkey, custkey)
-    side; custkey->nationkey is a broadcast dimension probe and the final
+    (orderkey, revenue) and (orderkey, custkey) sides reassemble with a
+    UNION + one groupby (null-ignoring Sum/Max) instead of a hash join;
+    custkey->nationkey is a broadcast dimension probe and the final
     aggregate has <= 25 groups.  The fact table is never shuffled whole."""
     import ray
     import pyarrow.parquet as pq
@@ -6138,34 +6144,48 @@ def q_returned_revenue_by_nation(sf_dir: str):
     nation = pq.read_table(_t(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"])
 
+    # The 1:1 orderkey attach is a UNION + single groupby, not a hash
+    # join: lineitem revenue partials carry (k, rev, ck=null), orders
+    # carry (k, rev=null, ck); Sum/Max ignore nulls, so one Aggregate
+    # shuffle reassembles the pair — measurably cheaper than Ray 2.49's
+    # join-actor exchange on the same skinny inputs (6.4 s -> 4.7 s at
+    # sf0.1 interleaved) and with no repartition workarounds.
+    from ray.data.aggregate import Max, Sum
+
     def rev_partial(b: pa.Table) -> pa.Table:
         m = pc.equal(b["l_returnflag"], "R")
         ext_c = _cents(b["l_extendedprice"]).filter(m).to_numpy(
             zero_copy_only=False)
         d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
                     pa.int64()).filter(m).to_numpy(zero_copy_only=False)
-        t = pa.table({"o_orderkey": b["l_orderkey"].filter(m),
+        t = pa.table({"k": b["l_orderkey"].filter(m).cast(pa.int64()),
                       "rev": pa.array(ext_c * (100 - d), type=pa.int64())})
-        return t.group_by("o_orderkey").aggregate([("rev", "sum")]) \
-            .rename_columns(["o_orderkey", "rev"])
+        g = t.group_by("k").aggregate([("rev", "sum")]) \
+            .rename_columns(["k", "rev"])
+        return g.append_column("ck", pa.nulls(g.num_rows, pa.int64()))
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b["o_orderkey"].cast(pa.int64()),
+                         "rev": pa.nulls(b.num_rows, pa.int64()),
+                         "ck": b["o_custkey"].cast(pa.int64())})
 
     rev = rd.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"]) \
-        .map_batches(rev_partial, batch_format="pyarrow") \
-        .groupby("o_orderkey").sum("rev")
-
+        .map_batches(rev_partial, batch_format="pyarrow")
     orders = rd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey"])
-    nparts = max(2, _conc())
-    joined = rev.repartition(nparts).join(
-        orders.repartition(nparts), join_type="inner",
-        num_partitions=nparts, on=("o_orderkey",))
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    merged = rev.union(orders).groupby("k").aggregate(Sum("rev"),
+                                                      Max("ck"))
 
     def nation_partial(b: pa.Table) -> pa.Table:
         keys, nk = ray.get(cref)
-        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = pc.and_(pc.is_valid(b["sum(rev)"]),
+                     pc.is_valid(b["max(ck)"]))   # inner-join semantics
+        b = b.filter(ok)
+        c = b["max(ck)"].to_numpy(zero_copy_only=False).astype(np.int64)
         r = b["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = nk[np.searchsorted(keys, c)]   # every custkey is in the dim
         t = pa.table({"nationkey": pa.array(n, type=pa.int64()),
@@ -6175,7 +6195,7 @@ def q_returned_revenue_by_nation(sf_dir: str):
             [("rev", "sum"), ("one", "sum")]) \
             .rename_columns(["nationkey", "rev", "n_orders"])
 
-    parts = joined.map_batches(nation_partial,
+    parts = merged.map_batches(nation_partial,
                                batch_format="pyarrow").take_all()
     agg: dict[int, list[int]] = {}
     for r in parts:
@@ -7625,7 +7645,11 @@ def q_orders_backlog_daily(sf_dir: str):
     groupby (orderkey -> max shipdate), per-batch +1/-1 delta partials
     over the bounded DAY domain, one driver cumsum — O(days) driver
     state, and nothing ever explodes into per-(order x day) rows (the
-    SQL oracle pays that explosion; the engine never does)."""
+    SQL oracle pays that explosion; the engine never does).  (A
+    union+groupby variant that avoids the hash join measured SLOWER here
+    — both joined sides are already one-row-per-order skinny, so the
+    join actors beat the larger single sort; contrast
+    q_returned_revenue_by_nation where union+groupby wins.)"""
     rd = _rd()
 
     def ship_partial(b: pa.Table) -> pa.Table:
