@@ -8072,6 +8072,79 @@ GROUP BY type_a, type_b ORDER BY type_a, type_b
 """
 
 
+def q_funnel_three_step(sf_dir: str):
+    """Strictly-ORDERED three-step funnel (round 5): users whose first
+    view precedes their first click precedes their first purchase — the
+    standard multi-step conversion report (two-step `funnel_users` only
+    orders one pair).  Per-batch partials reduce each user to three
+    first-timestamps (combiner), one user-bucketed min-merge, and every
+    bucket emits three scalar counts the driver sums — driver state is
+    O(buckets), never O(users)."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                          "event_type": b["event_type"].to_pandas(),
+                          "ts": b["ts"].to_pandas()})
+        firsts = {}
+        for step, et in (("tv", "view"), ("tc", "click"),
+                         ("tp", "purchase")):
+            firsts[step] = g[g["event_type"] == et] \
+                .groupby("user_id")["ts"].min()
+        out = pd.DataFrame(firsts).reset_index()
+        return pa.table({
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "tv": pa.Array.from_pandas(out["tv"]).cast(pa.timestamp("us")),
+            "tc": pa.Array.from_pandas(out["tc"]).cast(pa.timestamp("us")),
+            "tp": pa.Array.from_pandas(out["tp"]).cast(pa.timestamp("us")),
+        })
+
+    def merge(g):
+        out = g.groupby("user_id").agg(tv=("tv", "min"), tc=("tc", "min"),
+                                       tp=("tp", "min")).reset_index()
+        n_v = int(out["tv"].notna().sum())
+        vc = out["tv"] < out["tc"]
+        n_vc = int(vc.sum())
+        n_vcp = int((vc & (out["tc"] < out["tp"])).sum())
+        return pa.table({
+            "n_view_users": pa.array([n_v], type=pa.int64()),
+            "n_view_click": pa.array([n_vc], type=pa.int64()),
+            "n_view_click_purchase": pa.array([n_vcp], type=pa.int64())})
+
+    rows = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id").map_groups(merge, batch_format="pandas").take_all()
+    return pa.table({
+        "n_view_users": pa.array([sum(r["n_view_users"] for r in rows)],
+                                 type=pa.int64()),
+        "n_view_click": pa.array([sum(r["n_view_click"] for r in rows)],
+                                 type=pa.int64()),
+        "n_view_click_purchase": pa.array(
+            [sum(r["n_view_click_purchase"] for r in rows)],
+            type=pa.int64())})
+
+
+SQL_FUNNEL_THREE_STEP = """
+WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT user_id, MIN(ts) AS tc FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, MIN(ts) AS tp FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
+       CAST((SELECT COUNT(*) FROM v JOIN c USING (user_id)
+             WHERE tv < tc) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM v JOIN c USING (user_id)
+             JOIN p USING (user_id)
+             WHERE tv < tc AND tc < tp) AS BIGINT)
+           AS n_view_click_purchase
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8193,6 +8266,7 @@ REGISTRY: dict[str, tuple] = {
                                  SQL_FUNNEL_LATENCY_QUANTILES),
     "event_type_cooccurrence": (q_event_type_cooccurrence,
                                 SQL_EVENT_TYPE_COOCCURRENCE),
+    "funnel_three_step": (q_funnel_three_step, SQL_FUNNEL_THREE_STEP),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
