@@ -176,7 +176,7 @@ def run_bench() -> dict:
              "nation_trade_matrix", "orders_backlog_daily",
              "orders_per_customer_histogram", "top_supplier_revenue",
              "special_part_revenue", "funnel_latency_quantiles",
-             "event_type_cooccurrence"]
+             "event_type_cooccurrence", "funnel_three_step"]
     reg = q.queries()
 
     def suite_runner(name):
