@@ -8145,6 +8145,63 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
 """
 
 
+def q_weighted_sample_documents(sf_dir: str, k: int = 100):
+    """Deterministic length-WEIGHTED sampling (round 5): the k documents
+    with the smallest hash/weight priority, the hash-as-uniform analogue
+    of Efraimidis & Spirakis (2006) weighted reservoir sampling — longer
+    documents get proportionally smaller priorities, so the sample skews
+    to heavy docs yet is fully reproducible (no RNG state, composes with
+    resume like the md5-band splits).  Priorities are the exact integers
+    floor(md5_32(doc_id) * 1e6 / max(n_chars, 1)); each batch keeps its
+    local top-k (np.argpartition, no sort of the batch) and the driver
+    merges <= k x blocks rows — no shuffle anywhere."""
+    from ..stages.banding import band_hash32
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        h = band_hash32(b["doc_id"])
+        w = np.maximum(
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        key = (h * 1_000_000) // w
+        if len(key) > k:
+            idx = np.argpartition(key, k)[:k]
+        else:
+            idx = np.arange(len(key))
+        return pa.table({
+            "doc_id": pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False)[idx],
+                type=pa.int64()),
+            "n_chars": pa.array(
+                b["n_chars"].to_numpy(zero_copy_only=False)[idx],
+                type=pa.int64()),
+            "skey": pa.array(key[idx], type=pa.int64())})
+
+    parts = ds.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_chars": pa.array([], type=pa.int64()),
+                         "skey": pa.array([], type=pa.int64())})
+    rows = sorted(parts, key=lambda r: (r["skey"], r["doc_id"]))[:k]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        "skey": pa.array([r["skey"] for r in rows], type=pa.int64())})
+
+
+SQL_WEIGHTED_SAMPLE_DOCUMENTS = """
+WITH kt AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) * 1000000 // GREATEST(n_chars, 1) AS skey
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(skey AS BIGINT) AS skey
+FROM kt ORDER BY skey, doc_id LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8267,6 +8324,8 @@ REGISTRY: dict[str, tuple] = {
     "event_type_cooccurrence": (q_event_type_cooccurrence,
                                 SQL_EVENT_TYPE_COOCCURRENCE),
     "funnel_three_step": (q_funnel_three_step, SQL_FUNNEL_THREE_STEP),
+    "weighted_sample_documents": (q_weighted_sample_documents,
+                                  SQL_WEIGHTED_SAMPLE_DOCUMENTS),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),

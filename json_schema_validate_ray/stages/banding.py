@@ -35,6 +35,20 @@ import pyarrow as pa
 BAND_MODES = ("md5", "fast")
 
 
+def band_hash32(ids) -> np.ndarray:
+    """Raw 32-bit md5-prefix hash per id (the band convention WITHOUT the
+    % 100), for operators that need the full uniform value — e.g. the
+    hash/weight priorities of deterministic weighted sampling.  Matches
+    the DuckDB expression
+    ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)``."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+         for i in ids.to_pylist()),
+        dtype=np.int64, count=len(ids))
+
+
 def band_values(ids, mode: str = "md5") -> np.ndarray:
     """Per-row band in [0, 100) for an Arrow array/ChunkedArray of ids.
 
