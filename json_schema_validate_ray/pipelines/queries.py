@@ -8202,6 +8202,134 @@ FROM kt ORDER BY skey, doc_id LIMIT 100
 """
 
 
+def q_rare_metadata_combos(sf_dir: str, min_count: int = 5):
+    """k-anonymity-style RARE-combination census (round 5): metadata
+    combinations (lang, source, length-centile-bucket) backed by fewer
+    than ``min_count`` documents — the privacy/coverage QC that flags
+    strata too thin to survive aggregation or to train on.  Per-batch
+    (combo -> n) combiner partials; the combo space is bounded
+    (langs x sources x length-buckets), so the driver merges a tiny
+    table and applies the HAVING filter exactly."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b["lang"],
+            "source": b["source"],
+            "len_bucket": pc.cast(
+                pc.divide(b["n_chars"].cast(pa.int64()), 100), pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by(["lang", "source", "len_bucket"]).aggregate(
+            [("one", "sum")]) \
+            .rename_columns(["lang", "source", "len_bucket", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[tuple, int] = {}
+    for r in parts:
+        k = (r["lang"], r["source"], int(r["len_bucket"]))
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    rare = sorted(k for k, n in agg.items() if n < min_count)
+    return pa.table({
+        "lang": pa.array([k[0] for k in rare], type=pa.string()),
+        "source": pa.array([k[1] for k in rare], type=pa.string()),
+        "len_bucket": pa.array([k[2] for k in rare], type=pa.int64()),
+        "n_docs": pa.array([agg[k] for k in rare], type=pa.int64())})
+
+
+SQL_RARE_METADATA_COMBOS = """
+SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang, source, len_bucket
+HAVING COUNT(*) < 5
+ORDER BY lang, source, len_bucket
+"""
+
+
+def q_label_separation_matrix(sf_dir: str):
+    """Pairwise label-centroid SEPARATION matrix (round 5): for every
+    unordered label pair, the squared distance between the two cluster
+    centroids — the cluster-quality audit that flags mergeable or
+    mislabeled embedding classes.  Same exact-integer-moment scan as
+    `embedding_centroids` (floor(x*1e6) per element, int64 per-(label,
+    dim) sums, bounded labels x dims partials); the driver then forms
+    the common-denominator numerator sum((Sa*nb - Sb*na)^2) in exact
+    Python bigints (HUGEINT on the SQL side) and emits it as the
+    identical nearest-double, so the DOUBLE output is bit-stable.
+    True dist^2 = sep2_num / (n_a * n_b * 1e6)^2."""
+    from .similarity import matrix_from_list_array
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = matrix_from_list_array(b["embedding"])
+        if len(vecs) == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        scaled = np.floor(vecs.astype(np.float64) * 1_000_000) \
+            .astype(np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        ndim = scaled.shape[1]
+        sums = np.zeros((len(uniq), ndim), dtype=np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, ndim).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(ndim, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, ndim))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sums: dict[tuple[int, int], int] = {}
+    counts: dict[int, int] = {}
+    for r in parts:
+        lab, dim = int(r["label"]), int(r["dim"])
+        sums[(lab, dim)] = sums.get((lab, dim), 0) + int(r["s"])
+        if dim == 0:
+            counts[lab] = counts.get(lab, 0) + int(r["n"])
+    labs = sorted(counts)
+    ndim = 1 + max(d for _, d in sums)
+    out = []
+    for i, a in enumerate(labs):
+        for b_ in labs[i + 1:]:
+            na, nb = counts[a], counts[b_]
+            num = sum((sums[(a, d)] * nb - sums[(b_, d)] * na) ** 2
+                      for d in range(ndim))
+            out.append((a, b_, na, nb, float(num)))
+    return pa.table({
+        "label_a": pa.array([o[0] for o in out], type=pa.int64()),
+        "label_b": pa.array([o[1] for o in out], type=pa.int64()),
+        "n_a": pa.array([o[2] for o in out], type=pa.int64()),
+        "n_b": pa.array([o[3] for o in out], type=pa.int64()),
+        "sep2_num": pa.array([o[4] for o in out], type=pa.float64())})
+
+
+SQL_LABEL_SEPARATION_MATRIX = """
+WITH m AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+         SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM (SELECT label, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+  GROUP BY label, dim)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+       CAST(SUM(CAST(a.s * b.n - b.s * a.n AS HUGEINT)
+                * CAST(a.s * b.n - b.s * a.n AS HUGEINT)) AS DOUBLE)
+           AS sep2_num
+FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+GROUP BY label_a, label_b ORDER BY label_a, label_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8326,6 +8454,10 @@ REGISTRY: dict[str, tuple] = {
     "funnel_three_step": (q_funnel_three_step, SQL_FUNNEL_THREE_STEP),
     "weighted_sample_documents": (q_weighted_sample_documents,
                                   SQL_WEIGHTED_SAMPLE_DOCUMENTS),
+    "rare_metadata_combos": (q_rare_metadata_combos,
+                             SQL_RARE_METADATA_COMBOS),
+    "label_separation_matrix": (q_label_separation_matrix,
+                                SQL_LABEL_SEPARATION_MATRIX),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
