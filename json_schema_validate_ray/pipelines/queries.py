@@ -8330,6 +8330,83 @@ GROUP BY label_a, label_b ORDER BY label_a, label_b
 """
 
 
+def q_val_oov_rate(sf_dir: str):
+    """Validation-split OUT-OF-VOCABULARY census (round 5): how many
+    distinct validation-split tokens never appear in the train split —
+    the eval-hygiene metric that catches a val set whose vocabulary the
+    model cannot have seen.  Splits are the same content-addressed md5
+    bands as `split_assign_documents` (train < 90, val 90-94).  One scan
+    emits per-batch distinct (token, in_train, in_val) flag partials;
+    a token-bucketed max-merge resolves global membership and each
+    bucket reduces to three scalar counts — the exchange is bounded by
+    vocab x blocks and the driver sees O(buckets) rows."""
+    from .dedup import _group_by_key_buckets
+    from ..stages.banding import band_values
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        keep = pc.not_equal(pc.utf8_trim_whitespace(b["text"]), "")
+        b = b.filter(keep)
+        band = band_values(b["doc_id"])
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b["text"]), r"\s+")
+        flat = pc.list_flatten(toks).to_pandas()
+        rows = np.repeat(np.arange(b.num_rows),
+                         pc.list_value_length(toks).to_numpy(
+                             zero_copy_only=False))
+        rb = band[rows]
+        g = pd.DataFrame({"token": flat,
+                          "in_train": (rb < 90).astype(np.int64),
+                          "in_val": ((rb >= 90) & (rb < 95))
+                          .astype(np.int64)})
+        out = g.groupby("token", sort=False).max().reset_index()
+        return pa.table({
+            "token": pa.array(out["token"], type=pa.string()),
+            "in_train": pa.array(out["in_train"], type=pa.int64()),
+            "in_val": pa.array(out["in_val"], type=pa.int64())})
+
+    def merge(g):
+        out = g.groupby("token", sort=False)[["in_train", "in_val"]] \
+            .max()
+        n_val = int(out["in_val"].sum())
+        n_train = int(out["in_train"].sum())
+        n_oov = int((out["in_val"] & ~out["in_train"].astype(bool)).sum())
+        return pa.table({
+            "n_val_distinct": pa.array([n_val], type=pa.int64()),
+            "n_train_distinct": pa.array([n_train], type=pa.int64()),
+            "n_oov": pa.array([n_oov], type=pa.int64())})
+
+    rows = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "token").map_groups(merge, batch_format="pandas").take_all()
+    return pa.table({
+        "n_val_distinct": pa.array(
+            [sum(r["n_val_distinct"] for r in rows)], type=pa.int64()),
+        "n_train_distinct": pa.array(
+            [sum(r["n_train_distinct"] for r in rows)], type=pa.int64()),
+        "n_oov": pa.array([sum(r["n_oov"] for r in rows)],
+                          type=pa.int64())})
+
+
+SQL_VAL_OOV_RATE = r"""
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS band, text
+  FROM documents WHERE trim(text) <> ''),
+tr AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+'))
+           AS w FROM b WHERE band < 90),
+va AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+'))
+           AS w FROM b WHERE band >= 90 AND band < 95)
+SELECT CAST((SELECT COUNT(*) FROM va) AS BIGINT) AS n_val_distinct,
+       CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train_distinct,
+       CAST((SELECT COUNT(*) FROM va
+             WHERE w NOT IN (SELECT w FROM tr)) AS BIGINT) AS n_oov
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8458,6 +8535,7 @@ REGISTRY: dict[str, tuple] = {
                              SQL_RARE_METADATA_COMBOS),
     "label_separation_matrix": (q_label_separation_matrix,
                                 SQL_LABEL_SEPARATION_MATRIX),
+    "val_oov_rate": (q_val_oov_rate, SQL_VAL_OOV_RATE),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
