@@ -8407,6 +8407,101 @@ SELECT CAST((SELECT COUNT(*) FROM va) AS BIGINT) AS n_val_distinct,
 """
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (round 5): bucket every ordering
+    customer by Recency (days since their last order, vs the corpus max
+    order date), Frequency (order count) and Monetary (lifetime spend,
+    exact cents), then count customers per segment — the classic
+    cohorting report.  Per-batch (custkey -> max ts, n, cents) combiner
+    partials, one custkey-bucketed merge where each bucket reduces to
+    bounded 3x3x3 segment counts, driver merges 27 rows.  The reference
+    date is the exact global max(o_orderdate) from block-max partials —
+    two cheap scans, no join, no full shuffle of the fact table."""
+    from .dedup import _group_by_key_buckets
+    rd = _rd()
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        v = pc.max(b["o_orderdate"].cast(pa.int64())).as_py()
+        if v is None:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(v)], type=pa.int64())})
+
+    maxima = ds.map_batches(max_partial, batch_format="pyarrow").take_all()
+    ref_us = max(int(r["m"]) for r in maxima)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({
+            "k": b["o_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "ts": b["o_orderdate"].cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "cents": _cents(b["o_totalprice"])
+            .to_numpy(zero_copy_only=False)})
+        out = g.groupby("k").agg(last=("ts", "max"), n=("ts", "size"),
+                                 cents=("cents", "sum")).reset_index()
+        return pa.table({
+            "k": pa.array(out["k"], type=pa.int64()),
+            "last": pa.array(out["last"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "cents": pa.array(out["cents"], type=pa.int64())})
+
+    def merge(g):
+        out = g.groupby("k").agg(last=("last", "max"), n=("n", "sum"),
+                                 cents=("cents", "sum")).reset_index()
+        rec_days = (ref_us - out["last"].to_numpy()) // _US_PER_DAY
+        r = np.where(rec_days < 180, 0, np.where(rec_days < 720, 1, 2))
+        nn = out["n"].to_numpy()
+        f = np.where(nn <= 1, 0, np.where(nn <= 5, 1, 2))
+        cc = out["cents"].to_numpy()
+        m = np.where(cc < 10_000_000, 0,
+                     np.where(cc < 50_000_000, 1, 2))
+        seg = r * 9 + f * 3 + m
+        counts = np.bincount(seg, minlength=27).astype(np.int64)
+        return pa.table({
+            "seg": pa.array(np.arange(27, dtype=np.int64)),
+            "n_custs": pa.array(counts)})
+
+    parts = _group_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "k").map_groups(merge, batch_format="pandas").take_all()
+    agg = np.zeros(27, dtype=np.int64)
+    for row in parts:
+        agg[int(row["seg"])] += int(row["n_custs"])
+    keep = agg > 0
+    segs = np.arange(27, dtype=np.int64)[keep]
+    return pa.table({
+        "r_bucket": pa.array(segs // 9, type=pa.int64()),
+        "f_bucket": pa.array((segs // 3) % 3, type=pa.int64()),
+        "m_bucket": pa.array(segs % 3, type=pa.int64()),
+        "n_custs": pa.array(agg[keep], type=pa.int64())})
+
+
+SQL_RFM_SEGMENTS = """
+WITH ref AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+per AS (SELECT o_custkey,
+               (epoch_us((SELECT mx FROM ref))
+                - epoch_us(MAX(o_orderdate))) // 86400000000 AS rec_days,
+               COUNT(*) AS n,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey)
+SELECT CAST(CASE WHEN rec_days < 180 THEN 0
+                 WHEN rec_days < 720 THEN 1 ELSE 2 END AS BIGINT)
+           AS r_bucket,
+       CAST(CASE WHEN n <= 1 THEN 0 WHEN n <= 5 THEN 1 ELSE 2 END
+            AS BIGINT) AS f_bucket,
+       CAST(CASE WHEN cents < 10000000 THEN 0
+                 WHEN cents < 50000000 THEN 1 ELSE 2 END AS BIGINT)
+           AS m_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_custs
+FROM per GROUP BY r_bucket, f_bucket, m_bucket
+ORDER BY r_bucket, f_bucket, m_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8536,6 +8631,7 @@ REGISTRY: dict[str, tuple] = {
     "label_separation_matrix": (q_label_separation_matrix,
                                 SQL_LABEL_SEPARATION_MATRIX),
     "val_oov_rate": (q_val_oov_rate, SQL_VAL_OOV_RATE),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
