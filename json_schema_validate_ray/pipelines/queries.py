@@ -8502,6 +8502,53 @@ ORDER BY r_bucket, f_bucket, m_bucket
 """
 
 
+def q_benford_order_totals(sf_dir: str):
+    """Benford first-significant-digit audit (round 5): the distribution
+    of the leading digit of order totals (exact cents) — the classic
+    fabricated-data / unit-mixing detector (natural multi-scale amounts
+    follow log10(1+1/d); a flat or spiked histogram flags synthetic or
+    truncated values).  Leading digits come from a vectorized
+    divide-by-10 loop (at most 19 iterations for int64 — no strings, no
+    log), per-batch bincount partials, and the driver merges a 9-row
+    histogram."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False).copy()
+        v = np.abs(v)
+        v = v[v > 0]
+        while True:
+            big = v >= 10
+            if not big.any():
+                break
+            v[big] //= 10
+        counts = np.bincount(v, minlength=10)[1:10].astype(np.int64)
+        return pa.table({"digit": pa.array(np.arange(1, 10,
+                                                     dtype=np.int64)),
+                         "n": pa.array(counts)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg = np.zeros(9, dtype=np.int64)
+    for r in parts:
+        agg[int(r["digit"]) - 1] += int(r["n"])
+    keep = agg > 0   # match SQL GROUP BY, which emits no zero-count rows
+    return pa.table({
+        "digit": pa.array(np.arange(1, 10, dtype=np.int64)[keep]),
+        "n": pa.array(agg[keep])})
+
+
+SQL_BENFORD_ORDER_TOTALS = """
+SELECT CAST(CAST(substr(CAST(abs(CAST(round(o_totalprice * 100)
+                                      AS BIGINT)) AS VARCHAR), 1, 1)
+                 AS BIGINT) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) <> 0
+GROUP BY digit ORDER BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8632,6 +8679,8 @@ REGISTRY: dict[str, tuple] = {
                                 SQL_LABEL_SEPARATION_MATRIX),
     "val_oov_rate": (q_val_oov_rate, SQL_VAL_OOV_RATE),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "benford_order_totals": (q_benford_order_totals,
+                             SQL_BENFORD_ORDER_TOTALS),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
