@@ -8549,6 +8549,78 @@ GROUP BY digit ORDER BY digit
 """
 
 
+def q_daily_autocorr_lag7(sf_dir: str):
+    """Lag-7 autocorrelation of daily event volume (round 5): Pearson r
+    between each day's event count and the count one week later over the
+    contiguous day span (absent days count 0) — the weekly-seasonality
+    diagnostic for traffic-shaped data.  Day counts come from per-batch
+    value-count partials over the bounded day domain (O(days) driver
+    state, same shape as the anomaly/backlog ops); the moments and the
+    final double expression mirror `correlation_chars_tokens` exactly,
+    so the 1e6-scaled r is bit-stable against the SQL oracle."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // _US_PER_DAY
+        uniq, counts = np.unique(days, return_counts=True)
+        return pa.table({"day": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    dayc: dict[int, int] = {}
+    for r in parts:
+        dayc[int(r["day"])] = dayc.get(int(r["day"]), 0) + int(r["n"])
+    if not dayc:
+        return pa.table({"n_pairs": pa.array([0], type=pa.int64()),
+                         "r_1e6": pa.array([None], type=pa.int64())})
+    d0, d1 = min(dayc), max(dayc)
+    series = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    for d, v in dayc.items():
+        series[d - d0] = v
+    x = series[:-7].astype(object)
+    y = series[7:].astype(object)
+    n = len(x)
+    sx, sy = int(sum(x)), int(sum(y))
+    sxx = int(sum(a * a for a in x))
+    syy = int(sum(a * a for a in y))
+    sxy = int(sum(a * b_ for a, b_ in zip(x, y)))
+    import math
+    # EXPRESSION ORDER matters for bit-parity: identical to the SQL
+    r_1e6 = int(math.floor(
+        (float(n) * sxy - float(sx) * sy)
+        / math.sqrt((float(n) * sxx - float(sx) * sx)
+                    * (float(n) * syy - float(sy) * sy))
+        * 1_000_000 + 0.5))
+    return pa.table({"n_pairs": pa.array([n], type=pa.int64()),
+                     "r_1e6": pa.array([r_1e6], type=pa.int64())})
+
+
+SQL_DAILY_AUTOCORR_LAG7 = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+           FROM events GROUP BY day),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+f AS (SELECT t.day, COALESCE(d.n, 0) AS n
+      FROM (SELECT unnest(range((SELECT d0 FROM span),
+                                (SELECT d1 FROM span) + 1)) AS day) t
+      LEFT JOIN d USING (day)),
+p AS (SELECT a.n AS x, b.n AS y FROM f a JOIN f b ON b.day = a.day + 7),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM p)
+SELECT n AS n_pairs,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            * 1000000 + 0.5) AS BIGINT) AS r_1e6
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8681,6 +8753,8 @@ REGISTRY: dict[str, tuple] = {
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "benford_order_totals": (q_benford_order_totals,
                              SQL_BENFORD_ORDER_TOTALS),
+    "daily_autocorr_lag7": (q_daily_autocorr_lag7,
+                            SQL_DAILY_AUTOCORR_LAG7),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
