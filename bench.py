@@ -176,7 +176,11 @@ def run_bench() -> dict:
              "nation_trade_matrix", "orders_backlog_daily",
              "orders_per_customer_histogram", "top_supplier_revenue",
              "special_part_revenue", "funnel_latency_quantiles",
-             "event_type_cooccurrence", "funnel_three_step"]
+             "event_type_cooccurrence", "funnel_three_step",
+             "weighted_sample_documents", "rfm_segments",
+             "benford_order_totals", "daily_autocorr_lag7",
+             "val_oov_rate", "rare_metadata_combos",
+             "label_separation_matrix"]
     reg = q.queries()
 
     def suite_runner(name):
