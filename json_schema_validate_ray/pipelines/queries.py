@@ -8549,6 +8549,138 @@ GROUP BY digit ORDER BY digit
 """
 
 
+_BM25_QUERIES = (("join", "hash"), ("batch", "scan"), ("sort", "merge"))
+
+
+def q_bm25_multi_query(sf_dir: str, k: int = 5):
+    """BATCHED BM25 retrieval (round 5): top-k documents for SEVERAL
+    queries in ONE corpus pass — the serving-shaped variant of
+    `bm25_top_docs` (per-query scans don't survive at 100 TB; a
+    broadcast query set amortizes the scan).  Same log-free exact-input
+    idf ratio and double expression as the single-query op; the scoring
+    pass computes each distinct term's tf bincount once, sums per query
+    in term order, and forwards at most k rows PER QUERY per batch, so
+    the driver merges <= k x queries x blocks rows."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    terms = tuple(dict.fromkeys(t for q in _BM25_QUERIES for t in q))
+
+    def _toks(b: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(b["text"]))
+        blank = pc.fill_null(pc.equal(trimmed, ""), True) \
+            .to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~blank[parent]
+        return flat[keep], parent[keep], b.num_rows
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        flat, parent, n = _toks(b)
+        cols = {"n": pa.array([n], type=pa.int64()),
+                "sum_dl": pa.array([int(len(flat))], type=pa.int64())}
+        for i, t in enumerate(terms):
+            hits = np.bincount(parent[flat == t], minlength=n) > 0
+            cols[f"df{i}"] = pa.array([int(hits.sum())], type=pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    N = sum(r["n"] for r in parts)
+    sum_dl = sum(r["sum_dl"] for r in parts)
+    avgdl = float(sum_dl) / float(N)
+    idf = {t: (float(N) - float(sum(r[f"df{i}"] for r in parts)) + 0.5)
+           / (float(sum(r[f"df{i}"] for r in parts)) + 0.5)
+           for i, t in enumerate(terms)}
+
+    def score(b: pa.Table) -> pa.Table:
+        flat, parent, n = _toks(b)
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
+        denom_tail = 1.2 * (0.25 + (0.75 * dl) / avgdl)
+        tfs = {t: np.bincount(parent[flat == t], minlength=n)
+               .astype(np.float64) for t in terms}
+        qid_out, did_out, sc_out = [], [], []
+        dids = b["doc_id"].to_numpy(zero_copy_only=False)
+        for qi, q in enumerate(_BM25_QUERIES):
+            total = np.zeros(n, dtype=np.float64)
+            for t in q:
+                tf = tfs[t]
+                total = total + idf[t] * (tf * 2.2) / (tf + denom_tail)
+            s = np.floor(total * 1000000.0 + 0.5).astype(np.int64)
+            order = np.lexsort((dids, -s))[:k]
+            qid_out.append(np.full(len(order), qi, dtype=np.int64))
+            did_out.append(dids[order])
+            sc_out.append(s[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qid_out)),
+            "doc_id": pa.array(np.concatenate(did_out), type=pa.int64()),
+            "score_1e6": pa.array(np.concatenate(sc_out))})
+
+    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    out = []
+    for qi in range(len(_BM25_QUERIES)):
+        cand = sorted((r for r in rows if r["query_id"] == qi),
+                      key=lambda r: (-r["score_1e6"], r["doc_id"]))[:k]
+        out.extend(cand)
+    return pa.table({
+        "query_id": pa.array([r["query_id"] for r in out],
+                             type=pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in out], type=pa.int64()),
+        "score_1e6": pa.array([r["score_1e6"] for r in out],
+                              type=pa.int64())})
+
+
+def _bm25_multi_sql() -> str:
+    terms = tuple(dict.fromkeys(t for q in _BM25_QUERIES for t in q))
+    dfs = ",\n".join(
+        f"         CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 "
+        f"ELSE 0 END) AS BIGINT) AS df_{t}" for t in terms)
+
+    def term_expr(t: str) -> str:
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        return (f"(CAST(n AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+                f" / (CAST(df_{t} AS DOUBLE) + 0.5)\n"
+                f"      * ({tf} * 2.2)\n"
+                f"      / ({tf}\n"
+                f"         + 1.2 * (0.25 + (0.75 * CAST(len(toks) AS "
+                f"DOUBLE))\n"
+                f"                          / (CAST(sum_dl AS DOUBLE) / "
+                f"CAST(n AS DOUBLE))))")
+
+    branches = []
+    for qi, q in enumerate(_BM25_QUERIES):
+        expr = "\n    + ".join(term_expr(t) for t in q)
+        branches.append(
+            f"SELECT * FROM (\n"
+            f"  SELECT CAST({qi} AS BIGINT) AS query_id, doc_id,\n"
+            f"         CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+            f" AS score_1e6\n"
+            f"  FROM d CROSS JOIN st\n"
+            f"  ORDER BY score_1e6 DESC, doc_id LIMIT 5)")
+    union = "\nUNION ALL\n".join(branches)
+    return (
+        "WITH d AS (\n"
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN "
+        "[]::VARCHAR[]\n"
+        "        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') "
+        "END AS toks\n"
+        "  FROM documents\n"
+        "),\n"
+        "st AS (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS "
+        "sum_dl,\n"
+        f"{dfs}\n"
+        "  FROM d\n"
+        ")\n"
+        f"SELECT * FROM (\n{union}\n)\n"
+        "ORDER BY query_id, score_1e6 DESC, doc_id")
+
+
+SQL_BM25_MULTI_QUERY = _bm25_multi_sql()
+
+
 def q_daily_autocorr_lag7(sf_dir: str):
     """Lag-7 autocorrelation of daily event volume (round 5): Pearson r
     between each day's event count and the count one week later over the
@@ -8755,6 +8887,7 @@ REGISTRY: dict[str, tuple] = {
                              SQL_BENFORD_ORDER_TOTALS),
     "daily_autocorr_lag7": (q_daily_autocorr_lag7,
                             SQL_DAILY_AUTOCORR_LAG7),
+    "bm25_multi_query": (q_bm25_multi_query, SQL_BM25_MULTI_QUERY),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
