@@ -8681,6 +8681,60 @@ def _bm25_multi_sql() -> str:
 SQL_BM25_MULTI_QUERY = _bm25_multi_sql()
 
 
+def q_bpe_top_merges(sf_dir: str, k: int = 10):
+    """FIRST BPE merge-step census (round 5): the k most frequent
+    adjacent character pairs inside words across the corpus — exactly
+    the statistic a byte-pair-encoding tokenizer trainer computes each
+    round (Sennrich et al. 2016); one distributed pass per merge round
+    is how BPE fitting scales out.  Fully vectorized: each batch joins
+    its words with a NUL separator, views the bytes as uint8, encodes
+    adjacent in-word pairs as a*256+b and bincounts into the bounded
+    65536-code domain — partials are (code, n) rows, the driver merges
+    a tiny dict.  (Byte pairs == character pairs on this ASCII corpus,
+    matching the oracle's substr semantics; at scale byte-level is the
+    standard BPE base anyway.)"""
+    from ..stages.text import split_tokens_arrow
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, flat, _parent = split_tokens_arrow(b["text"])
+        words = [w for w in flat.to_pylist() if w]
+        if not words:
+            return pa.table({"code": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        s = "\x00".join(words).encode()
+        arr = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+        a, b_ = arr[:-1], arr[1:]
+        m = (a != 0) & (b_ != 0)
+        codes = a[m] * 256 + b_[m]
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"code": pa.array(nz, type=pa.int64()),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["code"])] = agg.get(int(r["code"]), 0) + int(r["n"])
+    pairs = sorted(
+        ((bytes([c >> 8, c & 255]).decode(), n) for c, n in agg.items()),
+        key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table({
+        "pair": pa.array([p for p, _ in pairs], type=pa.string()),
+        "n": pa.array([n for _, n in pairs], type=pa.int64())})
+
+
+SQL_BPE_TOP_MERGES = r"""
+WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''),
+p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 10
+"""
+
+
 def q_daily_autocorr_lag7(sf_dir: str):
     """Lag-7 autocorrelation of daily event volume (round 5): Pearson r
     between each day's event count and the count one week later over the
@@ -8888,6 +8942,7 @@ REGISTRY: dict[str, tuple] = {
     "daily_autocorr_lag7": (q_daily_autocorr_lag7,
                             SQL_DAILY_AUTOCORR_LAG7),
     "bm25_multi_query": (q_bm25_multi_query, SQL_BM25_MULTI_QUERY),
+    "bpe_top_merges": (q_bpe_top_merges, SQL_BPE_TOP_MERGES),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
