@@ -8735,6 +8735,101 @@ FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 10
 """
 
 
+def q_label_boundary_audit(sf_dir: str):
+    """1-NN label-confusion census (round 5): for each label, how many
+    of its vectors have a nearest neighbor (by EXACT scaled-integer dot
+    product, floor(x*1e6) elements) carrying a DIFFERENT label — the
+    hard-negative-mining / label-noise audit that flags classes whose
+    boundaries interpenetrate.  Integer dot products make the argmax
+    bit-deterministic (no float summation noise at the decision
+    boundary); ties break to the smallest neighbor id on both sides.
+    The index side broadcasts once via ray.put (the documented
+    dimension-table pattern; above the broadcast limit the IVF/PQ paths
+    in pipelines/similarity.py are the scale route) and every batch
+    does one int64 matmul against it."""
+    from .similarity import matrix_from_list_array
+    import ray
+    import pyarrow.parquet as pq
+    rd = _rd()
+    t = pq.read_table(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding", "label"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)   # column order = id order => argmax tie
+    ids = ids[order]          # breaks to the smallest neighbor id
+    labels = t["label"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    mat = np.floor(matrix_from_list_array(
+        t["embedding"]).astype(np.float64) * 1_000_000) \
+        .astype(np.int64)[order]
+    ref = ray.put((ids, labels, mat))
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        kids, klabels, kmat = ray.get(ref)
+        q = np.floor(matrix_from_list_array(
+            b["embedding"]).astype(np.float64) * 1_000_000) \
+            .astype(np.int64)
+        if len(q) == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "n_vecs": pa.array([], type=pa.int64()),
+                             "n_boundary": pa.array([], type=pa.int64())})
+        bids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dots = q @ kmat.T                       # exact int64
+        self_col = np.searchsorted(kids, bids)
+        dots[np.arange(len(bids)), self_col] = np.iinfo(np.int64).min
+        nn = np.argmax(dots, axis=1)            # first max = smallest id
+        differs = (klabels[nn] != blab).astype(np.int64)
+        tt = pa.table({"label": pa.array(blab),
+                       "one": pa.array(np.ones(len(blab), dtype=np.int64)),
+                       "diff": pa.array(differs)})
+        return tt.group_by("label").aggregate(
+            [("one", "sum"), ("diff", "sum")]) \
+            .rename_columns(["label", "n_vecs", "n_boundary"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(int(r["label"]), [0, 0])
+        a[0] += int(r["n_vecs"])
+        a[1] += int(r["n_boundary"])
+    ks = sorted(agg)
+    return pa.table({
+        "label": pa.array(ks, type=pa.int64()),
+        "n_vecs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_boundary": pa.array([agg[k][1] for k in ks], type=pa.int64())})
+
+
+SQL_LABEL_BOUNDARY_AUDIT = """
+WITH m AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT)
+           AS dim,
+         CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)),
+d AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+      FROM m a JOIN m b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+      GROUP BY ia, ib),
+nn AS (SELECT ia, ib,
+              ROW_NUMBER() OVER (PARTITION BY ia
+                                 ORDER BY dot DESC, ib) AS rk
+       FROM d),
+j AS (SELECT ea.label AS label,
+             CASE WHEN eb.label <> ea.label THEN 1 ELSE 0 END AS diff
+      FROM nn JOIN embeddings ea ON ea.vec_id = nn.ia
+              JOIN embeddings eb ON eb.vec_id = nn.ib
+      WHERE rk = 1)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(diff) AS BIGINT) AS n_boundary
+FROM j GROUP BY label ORDER BY label
+"""
+
+
 def q_daily_autocorr_lag7(sf_dir: str):
     """Lag-7 autocorrelation of daily event volume (round 5): Pearson r
     between each day's event count and the count one week later over the
@@ -8943,6 +9038,8 @@ REGISTRY: dict[str, tuple] = {
                             SQL_DAILY_AUTOCORR_LAG7),
     "bm25_multi_query": (q_bm25_multi_query, SQL_BM25_MULTI_QUERY),
     "bpe_top_merges": (q_bpe_top_merges, SQL_BPE_TOP_MERGES),
+    "label_boundary_audit": (q_label_boundary_audit,
+                             SQL_LABEL_BOUNDARY_AUDIT),
     # --- stale-coverage veterans (last driver row r03) ---
     "duplicate_doc_ids": (q_duplicate_doc_ids, SQL_DUPLICATE_DOC_IDS),
     "referential_orphans": (q_referential_orphans, SQL_REFERENTIAL_ORPHANS),
