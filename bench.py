@@ -180,7 +180,8 @@ def run_bench() -> dict:
              "weighted_sample_documents", "rfm_segments",
              "benford_order_totals", "daily_autocorr_lag7",
              "val_oov_rate", "rare_metadata_combos",
-             "label_separation_matrix"]
+             "label_separation_matrix", "bm25_multi_query",
+             "bpe_top_merges", "label_boundary_audit"]
     reg = q.queries()
 
     def suite_runner(name):
