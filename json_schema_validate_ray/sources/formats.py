@@ -70,3 +70,49 @@ def read_documents_csv(path: str):
 def write_documents_csv(ds, path: str) -> str:
     ds.write_csv(path)
     return path
+
+
+def read_tokens_feather(path: str):
+    """Tokens table from Arrow IPC (Feather v2) files — the zero-copy
+    wire format (nested ``tokens`` list preserved; the cast is a no-op
+    when files already carry the canonical schema).  Ray has no native
+    IPC reader, so each file streams through ``read_binary_files`` and
+    decodes in the task — one file per input block, the same resumable
+    layout rule as the other writers."""
+    import ray.data as rd
+
+    def decode(b: pa.Table) -> pa.Table:
+        import pyarrow.ipc as ipc
+        tables = [ipc.open_file(pa.BufferReader(x.as_py())).read_all()
+                  for x in b["bytes"]]
+        if not tables:
+            return TOKENS_ARROW_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
+
+    ds = rd.read_binary_files(path, file_extensions=["feather", "arrow"])
+    return cast_to_schema(ds.map_batches(decode, batch_format="pyarrow"),
+                          TOKENS_ARROW_SCHEMA)
+
+
+def write_tokens_feather(ds, path: str) -> str:
+    """One ``part-NNNNN.feather`` per block, written by parallel remote
+    tasks from the block refs — no driver materialization, deterministic
+    names so a partial directory is detectable."""
+    import os
+
+    import ray
+
+    os.makedirs(path, exist_ok=True)
+
+    @ray.remote
+    def _write(block, out_file: str) -> int:
+        import pyarrow.feather as feather
+        tbl = block if isinstance(block, pa.Table) \
+            else pa.Table.from_pandas(block)
+        feather.write_feather(tbl, out_file)
+        return tbl.num_rows
+
+    refs = ds.to_arrow_refs()
+    ray.get([_write.remote(r, os.path.join(path, f"part-{i:05d}.feather"))
+             for i, r in enumerate(refs)])
+    return path

@@ -67,3 +67,34 @@ def test_cast_to_schema_rejects_missing_column(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64())}))
     with pytest.raises(Exception):
         cast_to_schema(ds, DOCUMENTS_ARROW_SCHEMA).take_all()
+
+
+def test_tokens_feather_roundtrip_validates_identically(ray_session,
+                                                       tmp_path):
+    import ray.data as rd
+
+    from json_schema_validate_ray.pipelines.validate import validate_dataset
+    from json_schema_validate_ray.pipelines.schemas import TOKENS_SCHEMA
+    from json_schema_validate_ray.sources.formats import (
+        TOKENS_ARROW_SCHEMA, read_tokens_feather, write_tokens_feather)
+    from json_schema_validate_ray.sources.tokens import write_tokens_parquet
+
+    pq_dir = str(tmp_path / "pq")
+    write_tokens_parquet(pq_dir, 2000, n_partitions=4)
+    parquet_ds = rd.read_parquet(pq_dir)
+
+    ft_dir = str(tmp_path / "ft")
+    write_tokens_feather(parquet_ds, ft_dir)
+    feather_ds = read_tokens_feather(ft_dir)
+
+    # IPC preserves the canonical schema exactly (cast is a no-op)
+    assert feather_ds.schema().base_schema == TOKENS_ARROW_SCHEMA
+    assert feather_ds.count() == parquet_ds.count()
+
+    want = _sorted_rows(
+        validate_dataset(parquet_ds, TOKENS_SCHEMA)
+        .select_columns(["doc_id", "valid", "n_violations"]), "doc_id")
+    got = _sorted_rows(
+        validate_dataset(feather_ds, TOKENS_SCHEMA)
+        .select_columns(["doc_id", "valid", "n_violations"]), "doc_id")
+    assert got == want
