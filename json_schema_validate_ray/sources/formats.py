@@ -72,6 +72,44 @@ def write_documents_csv(ds, path: str) -> str:
     return path
 
 
+def read_documents_text(path: str):
+    """RAW text corpus ingestion: one document per line from .txt files —
+    the rawest real-world arrival format.  The canonical documents schema
+    is DERIVED in the read tasks: ``doc_id`` is the 63-bit md5 prefix of
+    the text (content-addressed — stable across runs and file layouts,
+    and duplicate lines get equal ids, which the exact-dedup operators
+    then see as what they are), ``source`` is the file's basename,
+    ``lang`` the n-gram language-ID heuristic, ``n_chars`` the byte
+    length.  Blank lines are dropped."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def derive(b: pa.Table) -> pa.Table:
+        from ..stages.text import LanguageId
+        texts = b["text"]
+        keep = pc.not_equal(pc.utf8_trim_whitespace(texts), "")
+        b = b.filter(keep)
+        texts = b["text"]
+        ids = [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) >> 1
+               for t in texts.to_pylist()]
+        srcs = [os.path.basename(p) for p in b["path"].to_pylist()]
+        langs = LanguageId()(pa.table({"text": texts}))["lang_pred"]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": texts,
+            "lang": langs,
+            "source": pa.array(srcs, type=pa.string()),
+            "n_chars": pc.binary_length(texts).cast(pa.int64()),
+        })
+
+    ds = rd.read_text(path, include_paths=True,
+                      file_extensions=["txt", "text"])
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
 def read_tokens_feather(path: str):
     """Tokens table from Arrow IPC (Feather v2) files — the zero-copy
     wire format (nested ``tokens`` list preserved; the cast is a no-op

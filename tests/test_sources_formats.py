@@ -98,3 +98,29 @@ def test_tokens_feather_roundtrip_validates_identically(ray_session,
         validate_dataset(feather_ds, TOKENS_SCHEMA)
         .select_columns(["doc_id", "valid", "n_violations"]), "doc_id")
     assert got == want
+
+
+def test_documents_raw_text_ingestion(ray_session, tmp_path):
+    from json_schema_validate_ray.sources.formats import (
+        DOCUMENTS_ARROW_SCHEMA, read_documents_text)
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "web.txt").write_text(
+        "the quick brown fox\n\nder schnelle braune fuchs und\n")
+    (d / "books.txt").write_text("the slow green turtle\n")
+
+    ds = read_documents_text(str(d))
+    rows = sorted(ds.take_all(), key=lambda r: (r["source"], r["text"]))
+    assert ds.schema().base_schema == DOCUMENTS_ARROW_SCHEMA
+    # blank line dropped; 3 docs total
+    assert len(rows) == 3
+    assert {r["source"] for r in rows} == {"web.txt", "books.txt"}
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+    # content-addressed ids: re-reading yields identical ids
+    again = sorted(read_documents_text(str(d)).take_all(),
+                   key=lambda r: (r["source"], r["text"]))
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in rows]
+    langs = {r["text"]: r["lang"] for r in rows}
+    assert langs["the quick brown fox"] == "en"
+    assert langs["der schnelle braune fuchs und"] == "de"
