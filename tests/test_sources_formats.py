@@ -124,3 +124,24 @@ def test_documents_raw_text_ingestion(ray_session, tmp_path):
     langs = {r["text"]: r["lang"] for r in rows}
     assert langs["the quick brown fox"] == "en"
     assert langs["der schnelle braune fuchs und"] == "de"
+
+
+def test_raw_text_feeds_curation_end_to_end(ray_session, tmp_path):
+    """The rawest arrival format drives the flagship composition: .txt ->
+    canonical documents schema -> mixture -> near-dup dedup -> packing."""
+    from json_schema_validate_ray.pipelines.curate import curate_corpus
+    from json_schema_validate_ray.sources.formats import read_documents_text
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    lines = [f"the quick brown fox number {i} jumps over the lazy dog"
+             for i in range(30)]
+    lines += [lines[0], lines[1]]          # exact dupes (same doc_id)
+    (d / "crawl.txt").write_text("\n".join(lines) + "\n")
+
+    ds = read_documents_text(str(d))
+    packed = curate_corpus(ds, capacity=64)
+    rows = packed.take_all()
+    # duplicate lines collapse via content-addressed ids before packing
+    assert 0 < len(rows) <= 30
+    assert {"doc_id", "n_tokens", "bin_id"} <= set(rows[0].keys())
