@@ -4704,8 +4704,8 @@ def q_local_supplier_volume(sf_dir: str):
     tables; above the broadcast limit the customer side swaps to the
     hash-join path of q_join_orders_customers), orders stream through a
     date filter + broadcast lookup emitting the skinny (orderkey,
-    cust_nation) build side, and the ONE genuine big-big exchange is the
-    orders x lineitem hash join on orderkey.  Revenue is the exact integer
+    cust_nation) side, and the ONE genuine big-big exchange is a
+    coarse-bucket pass on (orderkey, nation).  Revenue is the exact integer
     ext_cents * (100 - disc_pct) (x1e4), so the distributed sum is
     bit-equal to the serial oracle."""
     import ray
@@ -4753,11 +4753,19 @@ def q_local_supplier_volume(sf_dir: str):
     lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
     hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
 
-    # (A union+groupby-on-(k, n) variant that avoids the hash join
-    # measured consistently SLOWER here — the lineitem side has many
-    # rows per key and the wider sort key costs more than the join
-    # actors; contrast q_returned_revenue_by_nation where the sides are
-    # one-row-per-key and union+groupby wins.)
+    # The big-big exchange is ONE coarse-bucket pass on orderkey, not a
+    # hash join: only (orderkey, nation) pairs where the customer and
+    # supplier nations AGREE survive, so both sides emit rows keyed
+    # (k, nat) — lineitem revenue partials with a null flag, the
+    # date-filtered orders with flag 1 — and each bucket's pandas
+    # groupby keeps exactly the rows where both sides appear (count
+    # guard on the SUM side: pandas sum() of an all-null group is 0,
+    # not null) and folds them to bounded per-nation partials in the
+    # same pass.  Interleaved A/B at sf0.1: buckets beat the join in
+    # 3/3 reps (4.2-7.9 s vs 4.9-8.4 s), bit-identical; a flat
+    # union+groupby variant was slower than both (wide per-key sort).
+    from .dedup import _group_by_key_buckets
+
     def orders_side(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
                     pc.less(b["o_orderdate"], hi))
@@ -4765,11 +4773,14 @@ def q_local_supplier_volume(sf_dir: str):
         ckeys, cvals = ray.get(cust_ref)
         ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         cn, keep = _lookup(ckeys, cvals, ck)
+        n = int(keep.sum())
         return pa.table({
-            "o_orderkey": pa.array(
+            "k": pa.array(
                 b["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
                 type=pa.int64()),
-            "cust_nation": pa.array(cn[keep], type=pa.int64()),
+            "nat": pa.array(cn[keep], type=pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+            "is_cust": pa.array(np.ones(n, dtype=np.int64)),
         })
 
     orders = rd.read_parquet(
@@ -4784,14 +4795,17 @@ def q_local_supplier_volume(sf_dir: str):
         ext = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
         disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
                        pa.int64()).to_numpy(zero_copy_only=False)
-        rev = ext * (100 - disc)
-        return pa.table({
-            "l_orderkey": pa.array(
+        rev = (ext * (100 - disc))[keep]
+        t = pa.table({
+            "k": pa.array(
                 b["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
                 type=pa.int64()),
-            "supp_nation": pa.array(sn[keep], type=pa.int64()),
-            "rev_x1e4": pa.array(rev[keep], type=pa.int64()),
+            "nat": pa.array(sn[keep], type=pa.int64()),
+            "rev": pa.array(rev, type=pa.int64()),
         })
+        g = t.group_by(["k", "nat"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["k", "nat", "rev"])
+        return g.append_column("is_cust", pa.nulls(g.num_rows, pa.int64()))
 
     line = rd.read_parquet(
         _t(sf_dir, "lineitem"),
@@ -4799,30 +4813,35 @@ def q_local_supplier_volume(sf_dir: str):
                  "l_discount"]) \
         .map_batches(line_side, batch_format="pyarrow")
 
-    joined = line.join(orders, join_type="inner", num_partitions=16,
-                       on=("l_orderkey",), right_on=("o_orderkey",))
-
     nk = np.array(sorted(nation_name), dtype=np.int64)
     nv = np.array([nation_name[k] for k in nk], dtype=object)
 
-    def local_only(b: pa.Table) -> pa.Table:
-        keep = pc.equal(b["supp_nation"], b["cust_nation"])
-        b = b.filter(keep)
-        idx = np.searchsorted(nk, b["supp_nation"]
-                              .to_numpy(zero_copy_only=False))
-        return pa.table({
+    def merge(g):
+        out = g.groupby(["k", "nat"]).agg(
+            rev=("rev", "sum"), nrev=("rev", "count"),
+            cust=("is_cust", "max"))
+        out = out[(out["nrev"] > 0) & out["cust"].notna()]
+        if not len(out):
+            return pa.table({"n_name": pa.array([], type=pa.string()),
+                             "rev": pa.array([], type=pa.int64())})
+        nats = out.index.get_level_values("nat").to_numpy() \
+            .astype(np.int64)
+        idx = np.searchsorted(nk, nats)
+        t = pa.table({
             "n_name": pa.array(nv[idx], type=pa.string()),
-            "rev_x1e4": b["rev_x1e4"],
-        })
+            "rev": pa.array(out["rev"].to_numpy().astype(np.int64))})
+        return t.group_by("n_name").aggregate([("rev", "sum")]) \
+            .rename_columns(["n_name", "rev"])
 
-    out = joined.map_batches(local_only, batch_format="pyarrow") \
-        .groupby("n_name").sum("rev_x1e4")
-    tbl = pa.Table.from_pylist(out.take_all())
-    tbl = pa.table({
-        "n_name": pc.cast(tbl["n_name"], pa.string()),
-        "revenue_x1e4": pc.cast(tbl["sum(rev_x1e4)"], pa.int64()),
-    })
-    return tbl.sort_by("n_name")
+    parts = _group_by_key_buckets(line.union(orders), "k").map_groups(
+        merge, batch_format="pandas").take_all()
+    agg: dict[str, int] = {}
+    for r in parts:
+        agg[r["n_name"]] = agg.get(r["n_name"], 0) + int(r["rev"])
+    ks = sorted(agg)
+    return pa.table({
+        "n_name": pa.array(ks, type=pa.string()),
+        "revenue_x1e4": pa.array([agg[k] for k in ks], type=pa.int64())})
 
 
 SQL_LOCAL_SUPPLIER_VOLUME = """
@@ -6126,8 +6145,8 @@ def q_returned_revenue_by_nation(sf_dir: str):
     """TPC-H Q10-shaped returned-item report (round 5): discounted revenue
     of RETURNED lineitems by customer nation.  The R-flag filter prunes at
     the scan; per-orderkey revenue collapses in combiners; the skinny
-    (orderkey, revenue) and (orderkey, custkey) sides reassemble with a
-    UNION + one groupby (null-ignoring Sum/Max) instead of a hash join;
+    (orderkey, revenue) and (orderkey, custkey) sides reassemble in one
+    coarse-bucket pandas pass (no hash join, no per-key sort);
     custkey->nationkey is a broadcast dimension probe and the final
     aggregate has <= 25 groups.  The fact table is never shuffled whole."""
     import ray
@@ -6144,13 +6163,17 @@ def q_returned_revenue_by_nation(sf_dir: str):
     nation = pq.read_table(_t(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"])
 
-    # The 1:1 orderkey attach is a UNION + single groupby, not a hash
+    # The 1:1 orderkey attach is ONE coarse-bucket pass, not a hash
     # join: lineitem revenue partials carry (k, rev, ck=null), orders
-    # carry (k, rev=null, ck); Sum/Max ignore nulls, so one Aggregate
-    # shuffle reassembles the pair — measurably cheaper than Ray 2.49's
-    # join-actor exchange on the same skinny inputs (6.4 s -> 4.7 s at
-    # sf0.1 interleaved) and with no repartition workarounds.
-    from ray.data.aggregate import Max, Sum
+    # carry (k, rev=null, ck); the union hashes orderkeys into ~64
+    # buckets and each bucket's vectorized pandas reduce reassembles the
+    # pair AND folds it to bounded per-nation partials in the same group
+    # pass.  Interleaved A/B at sf0.1: buckets 3.7-6.0 s vs 6.4-16.5 s
+    # for both the Dataset.join and a flat union+groupby (the
+    # per-orderkey sort dominated those), bit-identical.  NOTE the
+    # count guard: pandas sum() of an all-null group returns 0, not
+    # null, so inner-join semantics need `count > 0`, not `notna()`.
+    from .dedup import _group_by_key_buckets
 
     def rev_partial(b: pa.Table) -> pa.Table:
         m = pc.equal(b["l_returnflag"], "R")
@@ -6177,16 +6200,14 @@ def q_returned_revenue_by_nation(sf_dir: str):
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"]) \
         .map_batches(ord_partial, batch_format="pyarrow")
-    merged = rev.union(orders).groupby("k").aggregate(Sum("rev"),
-                                                      Max("ck"))
 
-    def nation_partial(b: pa.Table) -> pa.Table:
+    def merge(g):
         keys, nk = ray.get(cref)
-        ok = pc.and_(pc.is_valid(b["sum(rev)"]),
-                     pc.is_valid(b["max(ck)"]))   # inner-join semantics
-        b = b.filter(ok)
-        c = b["max(ck)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        r = b["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = g.groupby("k").agg(rev=("rev", "sum"),
+                                 nrev=("rev", "count"), ck=("ck", "max"))
+        out = out[(out["nrev"] > 0) & out["ck"].notna()]
+        c = out["ck"].to_numpy().astype(np.int64)
+        r = out["rev"].to_numpy().astype(np.int64)
         n = nk[np.searchsorted(keys, c)]   # every custkey is in the dim
         t = pa.table({"nationkey": pa.array(n, type=pa.int64()),
                       "rev": pa.array(r, type=pa.int64()),
@@ -6195,8 +6216,8 @@ def q_returned_revenue_by_nation(sf_dir: str):
             [("rev", "sum"), ("one", "sum")]) \
             .rename_columns(["nationkey", "rev", "n_orders"])
 
-    parts = merged.map_batches(nation_partial,
-                               batch_format="pyarrow").take_all()
+    parts = _group_by_key_buckets(rev.union(orders), "k").map_groups(
+        merge, batch_format="pandas").take_all()
     agg: dict[int, list[int]] = {}
     for r in parts:
         a = agg.setdefault(int(r["nationkey"]), [0, 0])
@@ -7547,11 +7568,15 @@ def q_nation_trade_matrix(sf_dir: str):
     revenue by (supplier nation, customer nation) for CROSS-nation pairs.
     The supplier and customer dimensions broadcast as sorted key->nation
     probes; lineitem collapses to (orderkey, supp_nation, rev) combiner
-    partials; ONE skinny hash join attaches custkey; the final matrix is
-    bounded 25 x 25 combiners.  The fact table itself never join-shuffles
-    — only its per-(order, nation) partials do."""
+    partials; custkey attaches in ONE coarse-bucket pass (union the
+    null-padded sides, hash orderkeys into ~64 buckets, vectorized
+    pandas merge per bucket — measured faster than Dataset.join at
+    sf0.1 and immune to its empty-partition sharp edges) and the final
+    matrix is bounded 25 x 25 combiners.  The fact table itself never
+    join-shuffles — only its per-(order, nation) partials do."""
     import ray
     import pyarrow.parquet as pq
+    from .dedup import _group_by_key_buckets
     rd = _rd()
 
     def _dim(table: str, key: str, val: str):
@@ -7575,12 +7600,20 @@ def q_nation_trade_matrix(sf_dir: str):
         d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100)),
                     pa.int64()).to_numpy(zero_copy_only=False)
         t = pa.table({
-            "o_orderkey": b["l_orderkey"],
+            "k": b["l_orderkey"].cast(pa.int64()),
             "snat": pa.array(snat[np.searchsorted(sk, s)],
                              type=pa.int64()),
             "rev": pa.array(ext_c * (100 - d), type=pa.int64())})
-        return t.group_by(["o_orderkey", "snat"]).aggregate(
-            [("rev", "sum")]).rename_columns(["o_orderkey", "snat", "rev"])
+        g = t.group_by(["k", "snat"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["k", "snat", "rev"])
+        return g.append_column("ck", pa.nulls(g.num_rows, pa.int64()))
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"k": b["o_orderkey"].cast(pa.int64()),
+                         "snat": pa.nulls(n, pa.int64()),
+                         "rev": pa.nulls(n, pa.int64()),
+                         "ck": b["o_custkey"].cast(pa.int64())})
 
     rev = rd.read_parquet(
         _t(sf_dir, "lineitem"),
@@ -7588,25 +7621,25 @@ def q_nation_trade_matrix(sf_dir: str):
                  "l_discount"]) \
         .map_batches(li_partial, batch_format="pyarrow")
     orders = rd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey"])
-    nparts = max(2, _conc())
-    joined = rev.repartition(nparts).join(
-        orders.repartition(nparts), join_type="inner",
-        num_partitions=nparts, on=("o_orderkey",))
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
 
-    def matrix_partial(b: pa.Table) -> pa.Table:
-        ck, cnat = ray.get(cref)
-        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def merge(g):
+        ckk, cnat = ray.get(cref)
+        left = g[g["snat"].notna()][["k", "snat", "rev"]]
+        right = g[g["ck"].notna()][["k", "ck"]]
+        m = left.merge(right, on="k")   # 1:many attach within the bucket
+        c = m["ck"].to_numpy().astype(np.int64)
         t = pa.table({
-            "snat": b["snat"],
-            "cnat": pa.array(cnat[np.searchsorted(ck, c)],
+            "snat": pa.array(m["snat"].to_numpy().astype(np.int64)),
+            "cnat": pa.array(cnat[np.searchsorted(ckk, c)],
                              type=pa.int64()),
-            "rev": b["rev"]})
+            "rev": pa.array(m["rev"].to_numpy().astype(np.int64))})
         return t.group_by(["snat", "cnat"]).aggregate([("rev", "sum")]) \
             .rename_columns(["snat", "cnat", "rev"])
 
-    parts = joined.map_batches(matrix_partial,
-                               batch_format="pyarrow").take_all()
+    parts = _group_by_key_buckets(rev.union(orders), "k").map_groups(
+        merge, batch_format="pandas").take_all()
     agg: dict[tuple[int, int], int] = {}
     for r in parts:
         k = (int(r["snat"]), int(r["cnat"]))
@@ -7641,40 +7674,46 @@ def q_orders_backlog_daily(sf_dir: str):
     """Sweep-line interval aggregation (round 5): how many orders are OPEN
     (placed, not yet fully shipped) on each day — an order is open from
     o_orderdate through its LAST lineitem l_shipdate inclusive.  The
-    classic difference-array shape: per-order intervals from one skinny
-    groupby (orderkey -> max shipdate), per-batch +1/-1 delta partials
-    over the bounded DAY domain, one driver cumsum — O(days) driver
-    state, and nothing ever explodes into per-(order x day) rows (the
-    SQL oracle pays that explosion; the engine never does).  (A
-    union+groupby variant that avoids the hash join measured SLOWER here
-    — both joined sides are already one-row-per-order skinny, so the
-    join actors beat the larger single sort; contrast
-    q_returned_revenue_by_nation where union+groupby wins.)"""
+    classic difference-array shape: per-order intervals reassemble in
+    ONE coarse-bucket pass — lineitem (orderkey, max ship) combiner
+    partials and orders (orderkey, orderdate) rows union with
+    null-padded columns, hash into ~64 buckets, and each bucket's
+    vectorized pandas merge ALSO emits its +1/-1 day-delta partials, so
+    the merge and the delta computation fuse into the same group pass.
+    Measured 3x faster than the Dataset.join version at sf0.1
+    (interleaved A/B: 11.6-15.6 s join vs 4.3-5.1 s buckets,
+    bit-identical); a union+flat-groupby variant sat in between — the
+    per-orderkey sort dominated it.  One driver cumsum over the bounded
+    DAY domain finishes: O(days) driver state, and nothing ever
+    explodes into per-(order x day) rows (the SQL oracle pays that
+    explosion; the engine never does)."""
+    from .dedup import _group_by_key_buckets
     rd = _rd()
 
     def ship_partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"o_orderkey": b["l_orderkey"],
+        t = pa.table({"k": b["l_orderkey"].cast(pa.int64()),
                       "ship": b["l_shipdate"].cast(pa.int64())})
-        return t.group_by("o_orderkey").aggregate([("ship", "max")]) \
-            .rename_columns(["o_orderkey", "ship"])
+        g = t.group_by("k").aggregate([("ship", "max")]) \
+            .rename_columns(["k", "ship"])
+        return g.append_column("od", pa.nulls(g.num_rows, pa.int64()))
 
-    last_ship = rd.read_parquet(_t(sf_dir, "lineitem"),
-                                columns=["l_orderkey", "l_shipdate"]) \
-        .map_batches(ship_partial, batch_format="pyarrow") \
-        .groupby("o_orderkey").max("ship")
+    def ord_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b["o_orderkey"].cast(pa.int64()),
+                         "ship": pa.nulls(b.num_rows, pa.int64()),
+                         "od": b["o_orderdate"].cast(pa.int64())})
 
+    ships = rd.read_parquet(_t(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(ship_partial, batch_format="pyarrow")
     orders = rd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_orderdate"])
-    nparts = max(2, _conc())
-    joined = last_ship.repartition(nparts).join(
-        orders.repartition(nparts), join_type="inner",
-        num_partitions=nparts, on=("o_orderkey",))
+                             columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
 
-    def delta_partial(b: pa.Table) -> pa.Table:
-        start = b["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False) // _US_PER_DAY
-        end = b["max(ship)"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64) // _US_PER_DAY
+    def merge(g):
+        out = g.groupby("k").agg(ship=("ship", "max"), od=("od", "max"))
+        out = out[out["ship"].notna() & out["od"].notna()]  # inner join
+        start = out["od"].to_numpy().astype(np.int64) // _US_PER_DAY
+        end = out["ship"].to_numpy().astype(np.int64) // _US_PER_DAY
         # the synthetic data has orders whose last shipment precedes the
         # order date; an empty interval contributes no open days
         ok = end >= start
@@ -7687,8 +7726,8 @@ def q_orders_backlog_daily(sf_dir: str):
         return t.group_by("day").aggregate([("delta", "sum")]) \
             .rename_columns(["day", "delta"])
 
-    parts = joined.map_batches(delta_partial,
-                               batch_format="pyarrow").take_all()
+    parts = _group_by_key_buckets(ships.union(orders), "k").map_groups(
+        merge, batch_format="pandas").take_all()
     deltas: dict[int, int] = {}
     for r in parts:
         deltas[int(r["day"])] = deltas.get(int(r["day"]), 0) \
