@@ -7874,11 +7874,14 @@ def q_top_supplier_revenue(sf_dir: str):
 
     winners = totals.map_batches(winner_partial,
                                  batch_format="pyarrow").take_all()
+    ws = sorted(int(r["sk"]) for r in winners)
+    # name only the (tiny) winner set — row-group filter pushdown keeps
+    # the driver read O(|winners|) even when the supplier dim is huge
     sup = pq.read_table(_t(sf_dir, "supplier"),
-                        columns=["s_suppkey", "s_name"])
+                        columns=["s_suppkey", "s_name"],
+                        filters=[("s_suppkey", "in", ws)] if ws else None)
     names = {int(k): v for k, v in zip(sup["s_suppkey"].to_pylist(),
                                        sup["s_name"].to_pylist())}
-    ws = sorted(int(r["sk"]) for r in winners)
     return pa.table({
         "suppkey": pa.array(ws, type=pa.int64()),
         "s_name": pa.array([names[k] for k in ws], type=pa.string()),
@@ -8217,7 +8220,22 @@ def q_weighted_sample_documents(sf_dir: str, k: int = 100):
                 type=pa.int64()),
             "skey": pa.array(key[idx], type=pa.int64())})
 
-    parts = ds.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    def reprune(b: pa.Table) -> pa.Table:
+        key = b["skey"].to_numpy(zero_copy_only=False)
+        if len(key) > k:
+            idx = np.argpartition(key, k)[:k]
+            b = b.take(pa.array(np.sort(idx), type=pa.int64()))
+        return b
+
+    # second-level prune: the k-per-block stream repartitions to a few
+    # coarse blocks and prunes again on the carried skey, so the driver
+    # merge is O(k x conc) rows regardless of the input's block count
+    # (1e6 blocks at 100 TB would otherwise put k x 1e6 rows on the
+    # driver)
+    pruned = ds.map_batches(topk_partial, batch_format="pyarrow") \
+        .repartition(max(2, _conc())) \
+        .map_batches(reprune, batch_format="pyarrow")
+    parts = pruned.take_all()
     if not parts:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "n_chars": pa.array([], type=pa.int64()),
@@ -8656,7 +8674,24 @@ def q_bm25_multi_query(sf_dir: str, k: int = 5):
             "doc_id": pa.array(np.concatenate(did_out), type=pa.int64()),
             "score_1e6": pa.array(np.concatenate(sc_out))})
 
-    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    def reprune(b: pa.Table) -> pa.Table:
+        qids = b["query_id"].to_numpy(zero_copy_only=False)
+        s = b["score_1e6"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = []
+        for qi in range(len(_BM25_QUERIES)):
+            m = np.nonzero(qids == qi)[0]
+            if len(m) > k:
+                m = m[np.lexsort((d[m], -s[m]))[:k]]
+            keep.append(m)
+        idx = np.sort(np.concatenate(keep))
+        return b.take(pa.array(idx, type=pa.int64()))
+
+    # second-level prune bounds the driver merge at O(k x queries x
+    # conc) rows regardless of the corpus's block count
+    rows = ds.map_batches(score, batch_format="pyarrow") \
+        .repartition(max(2, _conc())) \
+        .map_batches(reprune, batch_format="pyarrow").take_all()
     out = []
     for qi in range(len(_BM25_QUERIES)):
         cand = sorted((r for r in rows if r["query_id"] == qi),
